@@ -1,0 +1,116 @@
+"""Image losses and metrics, pure jnp.
+
+Functional twin of reference `utils/loss_utils.py` (l1/l2/ssim/Dice/IoU) and
+`utils/image_utils.py:9-11` (psnr). SSIM uses the same 11x11 separable
+Gaussian window (sigma=1.5) and constants C1=0.01^2, C2=0.03^2 so metric
+values are comparable to the reference protocol. Convolutions are expressed
+as depthwise `lax.conv_general_dilated` which XLA fuses and maps well to TPU.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """PSNR per image: 20*log10(1/sqrt(mse)). Inputs [..., C, H, W] in [0,1].
+
+    Matches reference utils/image_utils.py:9-11 (mse over flattened image).
+    """
+    mse = jnp.mean(
+        (pred - target) ** 2, axis=tuple(range(pred.ndim - 3, pred.ndim))
+    )
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int, sigma: float):
+    xs = [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2)) for x in range(window_size)]
+    total = sum(xs)
+    return tuple(x / total for x in xs)
+
+
+def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur per channel. img [C, H, W] -> [C, H, W] (SAME)."""
+    w = jnp.asarray(_gaussian_window(window_size, sigma), dtype=img.dtype)
+    C = img.shape[0]
+    x = img[None]  # [1, C, H, W]
+    kernel_h = jnp.tile(w.reshape(1, 1, window_size, 1), (C, 1, 1, 1))
+    kernel_w = jnp.tile(w.reshape(1, 1, 1, window_size), (C, 1, 1, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel_h.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, kernel_h, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kernel_w, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+    )
+    return x[0]
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM between images [C, H, W] in [0,1].
+
+    Same protocol as reference utils/loss_utils.py:66-106 (11x11 Gaussian
+    window sigma=1.5, C1=0.01^2, C2=0.03^2, SAME padding, mean over all
+    pixels/channels).
+    """
+    C1 = 0.01**2
+    C2 = 0.03**2
+    blur = lambda x: _depthwise_blur(x, window_size, sigma)
+    mu1 = blur(img1)
+    mu2 = blur(img2)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically stable binary cross-entropy with logits (mean reduction).
+
+    Twin of torch BCEWithLogitsLoss used for the label-rendering phase
+    (reference trainers/train_static.py:104-109).
+    """
+    return jnp.mean(
+        jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def dice_loss(pred: jnp.ndarray, target: jnp.ndarray, smooth: float = 1.0) -> jnp.ndarray:
+    """Dice loss on probabilities (reference utils/loss_utils.py:18-35; unused
+    by the default pipeline but part of the API surface)."""
+    p = pred.reshape(-1)
+    t = target.reshape(-1)
+    inter = jnp.sum(p * t)
+    return 1.0 - (2.0 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
+
+
+def iou_loss(pred: jnp.ndarray, target: jnp.ndarray, smooth: float = 1.0) -> jnp.ndarray:
+    """IoU loss on probabilities (reference utils/loss_utils.py:38-55)."""
+    p = pred.reshape(-1)
+    t = target.reshape(-1)
+    inter = jnp.sum(p * t)
+    union = jnp.sum(p) + jnp.sum(t) - inter
+    return 1.0 - (inter + smooth) / (union + smooth)

@@ -1,0 +1,145 @@
+"""High-level differentiable render API.
+
+Functional redesign of reference `gaussian_renderer/__init__.py:18-107`
+(render) and `gaussian_renderer/render_helper.py` (label rendering). Instead
+of a stateful rasterizer object + retain_grad side channels, `render` is a
+pure function of arrays; screen-space-gradient harvesting for densification
+uses an explicit `means2d_probe` zeros input — take jax.grad w.r.t. it to
+get the reference's `viewspace_points.grad`.
+
+Backends:
+  "oracle": pure-jnp all-pairs compositor (correctness reference, small scenes)
+  "tiled":  binned, log-space-transmittance XLA renderer (fast path)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from egogaussian_tpu.ops.sh import eval_sh, sh_to_rgb
+from egogaussian_tpu.render.camera import Camera
+from egogaussian_tpu.render.oracle import composite_oracle, RenderOutput
+from egogaussian_tpu.render.project import project_gaussians
+
+
+class RenderResult(NamedTuple):
+    image: jnp.ndarray  # [D, H, W]
+    alpha: jnp.ndarray  # [1, H, W]
+    depth: jnp.ndarray  # [1, H, W]
+    radii: jnp.ndarray  # [N] int32; >0 == the reference's visibility_filter
+    means2d: jnp.ndarray  # [N, 2] projected screen means
+
+
+def _colors_from_sh(
+    sh_coeffs: jnp.ndarray, sh_degree: int, means3d: jnp.ndarray, campos: jnp.ndarray
+) -> jnp.ndarray:
+    """Evaluate SH towards the camera (reference render() python-SH path,
+    gaussian_renderer/__init__.py:77-85). sh_coeffs: [N, K, 3]."""
+    if sh_degree == 0:
+        return jnp.clip(sh_to_rgb(sh_coeffs[:, 0, :]), 0.0, None)
+    dirs = means3d - campos[None]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    rgb = eval_sh(sh_degree, jnp.swapaxes(sh_coeffs, -1, -2), dirs)
+    return jnp.clip(rgb + 0.5, 0.0, None)
+
+
+def render(
+    camera: Camera,
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    bg: jnp.ndarray,
+    sh_coeffs: Optional[jnp.ndarray] = None,
+    sh_degree: int = 0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    valid_mask: Optional[jnp.ndarray] = None,
+    means2d_probe: Optional[jnp.ndarray] = None,
+    backend: str = "tiled",
+    tile_config=None,
+) -> RenderResult:
+    """Differentiable rasterization of N Gaussians into `camera`.
+
+    Args:
+      means3d: [N, 3]; cov3d: [N, 6] packed; opacities: [N] in [0, 1]
+      sh_coeffs: [N, K, 3] SH colors (used unless colors_precomp given)
+      colors_precomp: [N, D] overrides SH (label channel / color override)
+      valid_mask: [N] alive mask (capacity padding rows culled)
+      means2d_probe: [N, 2] zeros; added to projected means so that
+        d(loss)/d(probe) recovers screen-space gradients for densification
+      backend: "oracle" | "tiled"
+    """
+    proj = project_gaussians(
+        means3d,
+        cov3d,
+        camera.viewmat,
+        camera.fx,
+        camera.fy,
+        camera.cx,
+        camera.cy,
+        camera.width,
+        camera.height,
+        valid_mask=valid_mask,
+    )
+    means2d = proj.means2d
+    if means2d_probe is not None:
+        means2d = means2d + means2d_probe
+        proj = proj._replace(means2d=means2d)
+
+    if colors_precomp is not None:
+        colors = colors_precomp
+    else:
+        assert sh_coeffs is not None, "need sh_coeffs or colors_precomp"
+        colors = _colors_from_sh(sh_coeffs, sh_degree, means3d, camera.camera_center)
+
+    if backend == "oracle":
+        out = composite_oracle(
+            proj, colors, opacities, bg, camera.width, camera.height
+        )
+    elif backend == "tiled":
+        from egogaussian_tpu.render.tiled import composite_tiled
+
+        out = composite_tiled(
+            proj, colors, opacities, bg, camera.width, camera.height,
+            config=tile_config,
+        )
+    else:
+        raise ValueError(f"unknown render backend: {backend}")
+
+    return RenderResult(
+        image=out.image,
+        alpha=out.alpha,
+        depth=out.depth,
+        radii=out.radii,
+        means2d=means2d,
+    )
+
+
+def render_label(
+    camera: Camera,
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray] = None,
+    backend: str = "tiled",
+) -> jnp.ndarray:
+    """Render the per-Gaussian scalar label as a 1-channel image with geometry
+    detached (gradient flows only through the label color), matching reference
+    `render_helper.get_render_label` (render_helper.py:38-64).
+
+    Returns [1, H, W] label image (black background).
+    """
+    import jax
+
+    res = render(
+        camera,
+        jax.lax.stop_gradient(means3d),
+        jax.lax.stop_gradient(cov3d),
+        jax.lax.stop_gradient(opacities),
+        bg=jnp.zeros((1,), dtype=means3d.dtype),
+        colors_precomp=labels[:, None],
+        valid_mask=valid_mask,
+        backend=backend,
+    )
+    return res.image

@@ -1,0 +1,199 @@
+"""Tiled differentiable rasterizer — the fast XLA path.
+
+TPU-native replacement for the CUDA tile rasterizer in
+submodules/diff-gaussian-rasterization (interface pinned by reference
+`gaussian_renderer/__init__.py:90-98`). The CUDA design (atomic per-tile
+lists, warp-synchronous compositing, early termination) is replaced by a
+sort-based, statically-shaped design that XLA maps onto the TPU:
+
+  1. depth-sort Gaussians (stable order within tiles == depth order)
+  2. exact pair expansion: each Gaussian emits one pair per overlapped tile;
+     pair slots are assigned by exclusive-cumsum offsets into a static
+     capacity `max_pairs` (no atomics, no dynamic shapes)
+  3. stable sort pairs by tile id; per-tile ranges via searchsorted
+  4. per-tile compositing with log-space transmittance: weights
+     w_i = alpha_i * exp(cumsum_{j<i} log(1-alpha_j)) — an associative scan
+     instead of the CUDA serial loop — and color accumulation as a
+     (pixels x M) @ (M x D) matmul on the MXU.
+
+Everything is differentiable by jax.grad (sort/gather indices are integer
+side computations), so no hand-written VJP is needed on this path; the
+Pallas kernels (render/pallas_raster.py) add a fused custom-VJP fast path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from egogaussian_tpu.render.oracle import ALPHA_EPS, ALPHA_MAX, RenderOutput
+from egogaussian_tpu.render.project import ProjectedGaussians
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    tile_size: int = 16
+    max_pairs: Optional[int] = None  # default 16 * N
+    max_per_tile: int = 1024
+    map_batch: int = 64  # tiles composited per lax.map batch
+
+
+def _default_config(n: int, config: Optional[TileConfig]) -> TileConfig:
+    config = config or TileConfig()
+    if config.max_pairs is None:
+        config = dataclasses.replace(config, max_pairs=max(16 * n, 4096))
+    return config
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians, width: int, height: int, config: TileConfig
+):
+    """Exact tile binning. Returns per-tile gather indices into depth-sorted
+    Gaussian arrays plus the depth-sort permutation.
+
+    Returns:
+      order: [N] depth-sort permutation
+      tile_gather: [n_tiles, max_per_tile] indices into depth-sorted arrays
+      tile_mask: [n_tiles, max_per_tile] bool validity
+    """
+    ts = config.tile_size
+    n_tx = -(-width // ts)
+    n_ty = -(-height // ts)
+    n_tiles = n_tx * n_ty
+    n = proj.depths.shape[0]
+
+    valid = proj.radii > 0
+    order = jnp.argsort(jnp.where(valid, proj.depths, jnp.inf))
+    means2d = proj.means2d[order]
+    radii = proj.radii[order].astype(means2d.dtype)
+    valid_s = valid[order]
+
+    # Tile-space bounding boxes (clamped to the grid)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / ts), 0, n_tx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + radii) / ts), 0, n_tx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii) / ts), 0, n_ty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + radii) / ts), 0, n_ty - 1).astype(jnp.int32)
+    tw = jnp.where(valid_s, x1 - x0 + 1, 0)
+    th = jnp.where(valid_s, y1 - y0 + 1, 0)
+    counts = tw * th  # pairs emitted per Gaussian
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
+
+    # Assign pair slot p -> owning Gaussian g via searchsorted on offsets.
+    p_idx = jnp.arange(config.max_pairs, dtype=jnp.int32)
+    g = jnp.clip(
+        jnp.searchsorted(offsets, p_idx, side="right").astype(jnp.int32) - 1, 0, n - 1
+    )
+    local = p_idx - offsets[g]
+    pair_ok = p_idx < total
+    tx = x0[g] + local % jnp.maximum(tw[g], 1)
+    ty = y0[g] + local // jnp.maximum(tw[g], 1)
+    tile_id = jnp.where(pair_ok, ty * n_tx + tx, n_tiles)  # invalid -> end
+
+    # Stable sort by tile id keeps depth order within each tile.
+    perm = jnp.argsort(tile_id, stable=True)
+    tile_sorted = tile_id[perm]
+    g_sorted = g[perm]
+
+    starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        tile_sorted, jnp.arange(1, n_tiles + 1, dtype=jnp.int32)
+    )
+    tile_cnt = jnp.minimum(ends - starts, config.max_per_tile)
+
+    m_idx = jnp.arange(config.max_per_tile, dtype=jnp.int32)
+    gather_pos = jnp.clip(starts[:, None] + m_idx[None, :], 0, config.max_pairs - 1)
+    tile_gather = g_sorted[gather_pos]  # [n_tiles, M]
+    tile_mask = m_idx[None, :] < tile_cnt[:, None]
+    return order, tile_gather, tile_mask, (n_tx, n_ty)
+
+
+def composite_tiled(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    config: Optional[TileConfig] = None,
+) -> RenderOutput:
+    """Tiled front-to-back compositing. Same semantics as the oracle."""
+    n = proj.depths.shape[0]
+    d = colors.shape[-1]
+    config = _default_config(n, config)
+    ts = config.tile_size
+
+    order, tile_gather, tile_mask, (n_tx, n_ty) = bin_gaussians(
+        proj, width, height, config
+    )
+    # Depth-sorted per-Gaussian data (binning indexes into the sorted arrays)
+    means2d = proj.means2d[order]
+    conics = proj.conics[order]
+    depths = proj.depths[order]
+    cols = colors[order]
+    ops = opacities[order]
+
+    # In-tile pixel coordinate offsets (row-major within the tile)
+    py_off, px_off = jnp.meshgrid(
+        jnp.arange(ts, dtype=means2d.dtype) + 0.5,
+        jnp.arange(ts, dtype=means2d.dtype) + 0.5,
+        indexing="ij",
+    )
+    px_off = px_off.reshape(-1)  # [ts*ts]
+    py_off = py_off.reshape(-1)
+
+    tile_ids = jnp.arange(n_tx * n_ty, dtype=jnp.int32)
+
+    def composite_one(args):
+        tid, idx, mask = args
+        tx = (tid % n_tx).astype(means2d.dtype)
+        ty = (tid // n_tx).astype(means2d.dtype)
+        px = tx * ts + px_off  # [P]
+        py = ty * ts + py_off
+
+        mu = means2d[idx]  # [M, 2]
+        co = conics[idx]  # [M, 3]
+        op = jnp.where(mask, ops[idx], 0.0)  # [M]
+        zs = depths[idx]  # [M]
+        cl = cols[idx]  # [M, D]
+
+        dx = px[None, :] - mu[:, 0:1]  # [M, P]
+        dy = py[None, :] - mu[:, 1:2]
+        power = (
+            -0.5 * (co[:, 0:1] * dx * dx + co[:, 2:3] * dy * dy)
+            - co[:, 1:2] * dx * dy
+        )
+        power = jnp.minimum(power, 0.0)
+        alpha = jnp.minimum(op[:, None] * jnp.exp(power), ALPHA_MAX)
+        alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
+
+        log1m = jnp.log1p(-alpha)  # [M, P]
+        excl = jnp.cumsum(log1m, axis=0) - log1m
+        w = alpha * jnp.exp(excl)  # [M, P]
+
+        img = jnp.einsum("mp,md->pd", w, cl)  # MXU matmul
+        acc_alpha = jnp.sum(w, axis=0)  # [P]
+        acc_depth = jnp.einsum("mp,m->p", w, zs)
+        t_final = jnp.exp(jnp.sum(log1m, axis=0))  # [P]
+        img = img + t_final[:, None] * bg[None, :]
+        return img, acc_alpha, acc_depth
+
+    imgs, alphas, depths_img = jax.lax.map(
+        composite_one,
+        (tile_ids, tile_gather, tile_mask),
+        batch_size=min(config.map_batch, n_tx * n_ty),
+    )
+
+    # Reassemble [n_tiles, P(, D)] -> [H, W(, D)] and crop padding
+    def untile(x, channels):
+        x = x.reshape(n_ty, n_tx, ts, ts, channels)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(n_ty * ts, n_tx * ts, channels)
+        return x[:height, :width]
+
+    image = untile(imgs, d).transpose(2, 0, 1)
+    alpha = untile(alphas[..., None], 1).transpose(2, 0, 1)
+    depth = untile(depths_img[..., None], 1).transpose(2, 0, 1)
+    return RenderOutput(image=image, alpha=alpha, depth=depth, radii=proj.radii)
