@@ -1,0 +1,384 @@
+"""Scene loading: COLMAP model + images + masks -> device-resident frames.
+
+TPU-native redesign of reference `scene/dataset_readers.py`,
+`scene/__init__.py` (Scene), `utils/camera_utils.py` and the split/phase
+parsing in `train.py:53-65`. Key design change: instead of a python list of
+per-frame GPU tensors sampled on the host (reference keeps every Camera
+resident and indexes the list), frames are **stacked into one FrameBatch
+pytree** of [F, ...] arrays so a jitted train step can gather a random frame
+with a traced integer — no host<->device traffic per step (SURVEY.md §7
+hard-part 6).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egogaussian_tpu.data import colmap
+from egogaussian_tpu.render.camera import Camera, focal_to_fov
+
+
+# ---------------------------------------------------------------------------
+# Split / phase parsing (reference train.py:53-65)
+# ---------------------------------------------------------------------------
+
+def read_split_file(path: str) -> List[str]:
+    """One frame name per line (split/{training,dynamic_eval,static_eval}_frames.txt)."""
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def read_phase_index(path: str) -> Tuple[List[Tuple[int, int]], List[Tuple[int, int]]]:
+    """Parse phase_frame_index.txt into (static_phases, dynamic_phases).
+
+    The file lists alternating phase boundary pairs "start,end" per line;
+    even rows are static phases, odd rows dynamic (reference train.py:60-65).
+    """
+    pairs = []
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            a, b = ln.replace(",", " ").split()[:2]
+            pairs.append((int(a), int(b)))
+    static_phases = pairs[0::2]
+    dynamic_phases = pairs[1::2]
+    return static_phases, dynamic_phases
+
+
+def split_viewpoints_by_phase(
+    cameras: Sequence[Camera],
+    phases: Sequence[Tuple[int, int]],
+    training_frames: Optional[Sequence[str]] = None,
+) -> List[List[int]]:
+    """Partition the (sorted) camera list into per-phase index lists filtered
+    by the training-frame whitelist (reference get_viewpoint_split,
+    utils/dynamic_utils.py:16-47). Frame numbers are parsed from the image
+    name; phases are inclusive [start, end] frame-number ranges."""
+    train_set = set(training_frames) if training_frames is not None else None
+    out: List[List[int]] = []
+    for start, end in phases:
+        idxs = []
+        for i, cam in enumerate(cameras):
+            num = frame_number(cam.image_name)
+            if num is None:
+                continue
+            if start <= num <= end and (
+                train_set is None or cam.image_name in train_set
+            ):
+                idxs.append(i)
+        out.append(idxs)
+    return out
+
+
+def frame_number(image_name: str) -> Optional[int]:
+    """Frame index from an image name; handles the EK 'frame_0000000123'
+    prefix the reference strips (scene/cameras.py:31-33) and plain digits."""
+    stem = image_name.split(".")[0]
+    if stem.startswith("frame_"):
+        stem = stem[len("frame_"):]
+    digits = "".join(c for c in stem if c.isdigit())
+    return int(digits) if digits else None
+
+
+# ---------------------------------------------------------------------------
+# Image / mask loading helpers (reference utils/camera_utils.py + general_utils)
+# ---------------------------------------------------------------------------
+
+def compute_resolution(
+    orig_w: int, orig_h: int, resolution: int = -1, resolution_scale: float = 1.0
+) -> Tuple[int, int]:
+    """Resolution policy: divisors {1,2,4,8}, or -1 => auto-cap width at
+    1600 px (reference loadCam, utils/camera_utils.py:24-41)."""
+    if resolution in (1, 2, 4, 8):
+        return (
+            round(orig_w / (resolution_scale * resolution)),
+            round(orig_h / (resolution_scale * resolution)),
+        )
+    if resolution == -1:
+        global_down = orig_w / 1600 if orig_w > 1600 else 1.0
+    else:
+        global_down = orig_w / resolution
+    scale = global_down * resolution_scale
+    return int(orig_w / scale), int(orig_h / scale)
+
+
+def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
+    """RGB image -> [3, H, W] float32 in [0,1]."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize(size)
+        arr = np.asarray(im, np.float32) / 255.0
+    return arr.transpose(2, 0, 1)
+
+
+def binarize_mask(mask: np.ndarray) -> np.ndarray:
+    """[C, H, W] -> [1, H, W] strictly {0,1} (reference binarize_mask,
+    utils/general_utils.py:41-60: 3-channel masks from COLMAP undistortion
+    collapse via max; threshold at 0.5)."""
+    if mask.shape[0] > 1:
+        mask = mask.max(axis=0, keepdims=True)
+    return (mask > 0.5).astype(np.float32)
+
+
+def load_feature(
+    dir_path: str, image_name: str, size: Tuple[int, int], allow_npy: bool = False
+) -> Optional[np.ndarray]:
+    """Load a mask/depth feature with png/jpg/npy fallback
+    (reference load_img_feature, dataset_readers.py:72-100).
+    Returns [1, H, W] or None if no file exists."""
+    from PIL import Image
+
+    stem = image_name.split(".")[0]
+    for ext in (".png", ".jpg", ".jpeg"):
+        p = os.path.join(dir_path, stem + ext)
+        if os.path.exists(p):
+            with Image.open(p) as im:
+                im = im.resize(size)
+                arr = np.asarray(im, np.float32)
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            return binarize_mask(arr / max(arr.max(), 1.0))
+    if allow_npy:
+        p = os.path.join(dir_path, stem + ".npy")
+        if os.path.exists(p):
+            arr = np.load(p).astype(np.float32)
+            return arr[None] if arr.ndim == 2 else arr
+    return None
+
+
+def dilate_mask(mask: np.ndarray, iterations: int = 5) -> np.ndarray:
+    """Binary dilation with a 3x3 kernel (reference dilate_mask conv trick,
+    trainers/train_static_bg.py:14-21). mask [1, H, W]."""
+    m = mask[0] > 0.5
+    for _ in range(iterations):
+        p = np.pad(m, 1)
+        m = (
+            p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]
+            | p[1:-1, 1:-1] | p[:-2, :-2] | p[:-2, 2:] | p[2:, :-2] | p[2:, 2:]
+        )
+    return m[None].astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# nerf++ scene normalization (reference getNerfppNorm, dataset_readers.py:49-70)
+# ---------------------------------------------------------------------------
+
+def compute_nerfpp_norm(cameras: Sequence[Camera]) -> Dict[str, np.ndarray]:
+    centers = np.stack([np.asarray(c.camera_center) for c in cameras])
+    avg = centers.mean(axis=0)
+    dists = np.linalg.norm(centers - avg, axis=1)
+    radius = float(dists.max()) * 1.1
+    return {"translate": -avg, "radius": radius if radius > 0 else 1.0}
+
+
+# ---------------------------------------------------------------------------
+# FrameBatch: device-resident stacked frames
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameBatch:
+    """All frames of one scene stacked for traced-index gathering.
+
+    Masks use the convention: hand_mask 1 = hand pixel (excluded from loss),
+    obj_mask 1 = interacted-object pixel.
+    """
+
+    viewmats: jnp.ndarray  # [F, 4, 4]
+    fx: jnp.ndarray  # [F]
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    images: jnp.ndarray  # [F, 3, H, W]
+    hand_masks: jnp.ndarray  # [F, 1, H, W]
+    obj_masks: jnp.ndarray  # [F, 1, H, W] (zeros where missing)
+    obj_mask_valid: jnp.ndarray  # [F] bool: obj mask actually present
+    width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    height: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def num_frames(self) -> int:
+        return self.images.shape[0]
+
+    def camera(self, f: int | jnp.ndarray) -> Camera:
+        """Camera pytree for frame f (f may be traced)."""
+        return Camera(
+            viewmat=self.viewmats[f],
+            fx=self.fx[f],
+            fy=self.fy[f],
+            cx=self.cx[f],
+            cy=self.cy[f],
+            width=self.width,
+            height=self.height,
+        )
+
+    def frame(self, f: int | jnp.ndarray):
+        """(camera, gt_image, hand_mask, obj_mask) for a traced index."""
+        return (
+            self.camera(f),
+            self.images[f],
+            self.hand_masks[f],
+            self.obj_masks[f],
+        )
+
+
+def stack_cameras(cameras: Sequence[Camera]) -> FrameBatch:
+    """Stack per-frame Camera pytrees into one FrameBatch (device upload)."""
+    assert cameras, "empty camera list"
+    w, h = cameras[0].width, cameras[0].height
+    imgs, hands, objs, valid = [], [], [], []
+    for c in cameras:
+        assert (c.width, c.height) == (w, h), "mixed resolutions in one batch"
+        imgs.append(
+            np.asarray(c.gt_image)
+            if c.gt_image is not None
+            else np.zeros((3, h, w), np.float32)
+        )
+        hands.append(
+            np.asarray(c.hand_mask)
+            if c.hand_mask is not None
+            else np.zeros((1, h, w), np.float32)
+        )
+        objs.append(
+            np.asarray(c.obj_mask)
+            if c.obj_mask is not None
+            else np.zeros((1, h, w), np.float32)
+        )
+        valid.append(c.obj_mask is not None)
+    return FrameBatch(
+        viewmats=jnp.stack([c.viewmat for c in cameras]),
+        fx=jnp.stack([jnp.asarray(c.fx) for c in cameras]),
+        fy=jnp.stack([jnp.asarray(c.fy) for c in cameras]),
+        cx=jnp.stack([jnp.asarray(c.cx) for c in cameras]),
+        cy=jnp.stack([jnp.asarray(c.cy) for c in cameras]),
+        images=jnp.asarray(np.stack(imgs)),
+        hand_masks=jnp.asarray(np.stack(hands)),
+        obj_masks=jnp.asarray(np.stack(objs)),
+        obj_mask_valid=jnp.asarray(np.array(valid)),
+        width=w,
+        height=h,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene loading (reference Scene + readColmapSceneInfo)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SceneData:
+    cameras: List[Camera]  # sorted by image name
+    points: np.ndarray  # [N, 3] initial point cloud
+    colors: np.ndarray  # [N, 3] in [0, 1]
+    nerf_norm: Dict[str, np.ndarray]
+    image_names: List[str]
+
+    @property
+    def cameras_extent(self) -> float:
+        return float(self.nerf_norm["radius"])
+
+
+def load_colmap_scene(
+    source_path: str,
+    images_dir: str = "images",
+    resolution: int = -1,
+    load_hand_masks: bool = True,
+    load_obj_masks: bool = True,
+) -> SceneData:
+    """Load a COLMAP scene directory in the reference's layout
+    (readColmapSceneInfo, dataset_readers.py:213-296):
+
+      source_path/
+        sparse/0/{cameras,images,points3D}.{bin|txt}
+        images/          (extracted frames; registered-but-missing are skipped)
+        hand_masks/  obj_masks/   (binary masks, optional obj)
+    """
+    sparse = os.path.join(source_path, "sparse", "0")
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(source_path, "sparse")
+    img_dir = os.path.join(source_path, images_dir)
+    present = sorted(os.listdir(img_dir)) if os.path.isdir(img_dir) else []
+
+    def pick(name):
+        b = os.path.join(sparse, name + ".bin")
+        t = os.path.join(sparse, name + ".txt")
+        return (b, "bin") if os.path.exists(b) else (t, "txt")
+
+    cam_path, cam_fmt = pick("cameras")
+    intr = (
+        colmap.read_cameras_binary(cam_path)
+        if cam_fmt == "bin"
+        else colmap.read_cameras_text(cam_path)
+    )
+    img_path, img_fmt = pick("images")
+    extr = (
+        colmap.read_images_binary(img_path, present)
+        if img_fmt == "bin"
+        else colmap.read_images_text(img_path, present)
+    )
+    pts_path, pts_fmt = pick("points3D")
+    xyz, rgb, _ = (
+        colmap.read_points3d_binary(pts_path)
+        if pts_fmt == "bin"
+        else colmap.read_points3d_text(pts_path)
+    )
+
+    hand_dir = os.path.join(source_path, "hand_masks") if load_hand_masks else None
+    obj_dir = os.path.join(source_path, "obj_masks") if load_obj_masks else None
+
+    cameras: List[Camera] = []
+    for im in sorted(extr.values(), key=lambda x: x.name):
+        cam = intr[im.camera_id]
+        if cam.model == "SIMPLE_PINHOLE":
+            fx = fy = cam.params[0]
+            cx, cy = cam.params[1], cam.params[2]
+        elif cam.model == "PINHOLE":
+            fx, fy = cam.params[0], cam.params[1]
+            cx, cy = cam.params[2], cam.params[3]
+        else:
+            raise ValueError(
+                f"COLMAP camera model not handled: {cam.model} "
+                "(only PINHOLE/SIMPLE_PINHOLE, like the reference)"
+            )
+        w, h = compute_resolution(cam.width, cam.height, resolution)
+        sx, sy = w / cam.width, h / cam.height
+        R = colmap.qvec2rotmat(im.qvec)  # world-to-camera
+        name = os.path.basename(im.name).split(".")[0]
+        if name.startswith("frame_"):
+            name = name[len("frame_"):]  # EK prefix strip (cameras.py:31-33)
+        gt = load_image(os.path.join(img_dir, os.path.basename(im.name)), (w, h))
+        hand = load_feature(hand_dir, im.name, (w, h)) if hand_dir else None
+        obj = load_feature(obj_dir, im.name, (w, h)) if obj_dir else None
+        cameras.append(
+            Camera.from_colmap(
+                R_w2c=R.astype(np.float32),
+                t_w2c=im.tvec.astype(np.float32),
+                fx=fx * sx,
+                fy=fy * sy,
+                cx=cx * sx,
+                cy=cy * sy,
+                width=w,
+                height=h,
+                image_name=name,
+                gt_image=gt,
+                hand_mask=hand,
+                obj_mask=obj,
+            )
+        )
+    norm = compute_nerfpp_norm(cameras)
+    return SceneData(
+        cameras=cameras,
+        points=xyz,
+        colors=rgb,
+        nerf_norm=norm,
+        image_names=[c.image_name for c in cameras],
+    )

@@ -1,0 +1,197 @@
+"""Data-layer tests: COLMAP parsers (round-trip against written files),
+split/phase parsing, frame stacking, synthetic video generator."""
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from egogaussian_tpu.data import (
+    make_synthetic_video,
+    read_phase_index,
+    read_split_file,
+    split_viewpoints_by_phase,
+    stack_cameras,
+)
+from egogaussian_tpu.data.colmap import (
+    qvec2rotmat,
+    read_cameras_binary,
+    read_cameras_text,
+    read_images_binary,
+    read_points3d_binary,
+    write_points3d_ply,
+    read_points_ply,
+)
+from egogaussian_tpu.data.readers import (
+    binarize_mask,
+    compute_resolution,
+    dilate_mask,
+    frame_number,
+)
+
+
+def write_fake_colmap_bin(tmp_path, names=("000001.jpg", "000002.jpg")):
+    """Create a minimal binary COLMAP model."""
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    # cameras.bin: one PINHOLE camera
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 64, 48))  # id=1 PINHOLE 64x48
+        f.write(struct.pack("<dddd", 60.0, 60.0, 32.0, 24.0))
+    # images.bin
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(names)))
+        for i, name in enumerate(names):
+            f.write(struct.pack("<idddddddi", i + 1, 1.0, 0, 0, 0, 0.1 * i, 0, 2.0, 1))
+            f.write(name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 2))  # 2 2D points
+            for p in range(2):
+                f.write(struct.pack("<ddq", 1.0 * p, 2.0 * p, p))
+    # points3D.bin
+    with open(sparse / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<ddd", i * 1.0, i * 2.0, i * 3.0))
+            f.write(struct.pack("<BBB", 255, 128, 0))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 2))  # track of len 2
+            f.write(struct.pack("<ii", 1, 0) * 2)
+    return sparse
+
+
+class TestColmapParsers:
+    def test_cameras_binary(self, tmp_path):
+        sparse = write_fake_colmap_bin(tmp_path)
+        cams = read_cameras_binary(str(sparse / "cameras.bin"))
+        assert cams[1].model == "PINHOLE"
+        assert cams[1].width == 64 and cams[1].height == 48
+        np.testing.assert_allclose(cams[1].params, [60, 60, 32, 24])
+
+    def test_images_binary_with_filter(self, tmp_path):
+        sparse = write_fake_colmap_bin(tmp_path)
+        ims = read_images_binary(str(sparse / "images.bin"))
+        assert len(ims) == 2
+        assert ims[1].name == "000001.jpg"
+        np.testing.assert_allclose(ims[2].tvec, [0.1, 0, 2.0])
+        # name filter skips others (reference colmap_loader.py:208-215)
+        ims_f = read_images_binary(str(sparse / "images.bin"), ["000002.jpg"])
+        assert len(ims_f) == 1
+
+    def test_points3d_binary(self, tmp_path):
+        sparse = write_fake_colmap_bin(tmp_path)
+        xyz, rgb, err = read_points3d_binary(str(sparse / "points3D.bin"))
+        assert xyz.shape == (3, 3)
+        np.testing.assert_allclose(xyz[2], [2, 4, 6])
+        np.testing.assert_allclose(rgb[0], [1.0, 128 / 255, 0.0], atol=1e-6)
+
+    def test_cameras_text(self, tmp_path):
+        p = tmp_path / "cameras.txt"
+        p.write_text("# comment\n1 SIMPLE_PINHOLE 100 80 50.0 50.0 40.0\n")
+        cams = read_cameras_text(str(p))
+        assert cams[1].model == "SIMPLE_PINHOLE"
+        np.testing.assert_allclose(cams[1].params, [50, 50, 40])
+
+    def test_qvec2rotmat_identity(self):
+        np.testing.assert_allclose(qvec2rotmat(np.array([1.0, 0, 0, 0])), np.eye(3))
+
+    def test_points_ply_roundtrip(self, tmp_path):
+        xyz = np.random.RandomState(0).randn(10, 3).astype(np.float32)
+        rgb = np.random.RandomState(1).rand(10, 3).astype(np.float32)
+        path = str(tmp_path / "pts.ply")
+        write_points3d_ply(path, xyz, rgb)
+        xyz2, rgb2 = read_points_ply(path)
+        np.testing.assert_allclose(xyz2, xyz, atol=1e-6)
+        np.testing.assert_allclose(rgb2, rgb, atol=1e-2)
+
+
+class TestSplits:
+    def test_split_and_phase_files(self, tmp_path):
+        sp = tmp_path / "split"
+        sp.mkdir()
+        (sp / "training_frames.txt").write_text("000001\n000002\n000005\n")
+        (sp / "phase_frame_index.txt").write_text("1,3\n4,6\n7,9\n")
+        frames = read_split_file(str(sp / "training_frames.txt"))
+        assert frames == ["000001", "000002", "000005"]
+        static, dynamic = read_phase_index(str(sp / "phase_frame_index.txt"))
+        assert static == [(1, 3), (7, 9)]
+        assert dynamic == [(4, 6)]
+
+    def test_frame_number(self):
+        assert frame_number("000123") == 123
+        assert frame_number("frame_0000000042") == 42
+        assert frame_number("frame_0000000042.jpg") == 42
+
+    def test_split_viewpoints(self):
+        vid = make_synthetic_video(frames_static=3, frames_dynamic=2,
+                                   n_bg=20, n_obj=10, width=16, height=12)
+        groups = split_viewpoints_by_phase(vid.cameras, vid.static_phases)
+        assert groups[0] == [0, 1, 2]
+        assert groups[1] == [5, 6, 7]
+        dyn = split_viewpoints_by_phase(vid.cameras, vid.dynamic_phases)
+        assert dyn[0] == [3, 4]
+        # whitelist filter
+        groups_f = split_viewpoints_by_phase(
+            vid.cameras, vid.static_phases, ["000000", "000002"]
+        )
+        assert groups_f[0] == [0, 2]
+
+
+class TestHelpers:
+    def test_compute_resolution(self):
+        assert compute_resolution(3200, 2400, -1) == (1600, 1200)  # 1.6K cap
+        assert compute_resolution(800, 600, -1) == (800, 600)
+        assert compute_resolution(800, 600, 2) == (400, 300)
+        assert compute_resolution(800, 600, 400) == (400, 300)
+
+    def test_binarize_mask(self):
+        m3 = np.stack([np.ones((4, 4)), np.zeros((4, 4)), np.zeros((4, 4))])
+        out = binarize_mask(m3.astype(np.float32))
+        assert out.shape == (1, 4, 4)
+        assert set(np.unique(out)) <= {0.0, 1.0}
+        assert out.sum() == 16
+
+    def test_dilate_mask(self):
+        m = np.zeros((1, 9, 9), np.float32)
+        m[0, 4, 4] = 1.0
+        out = dilate_mask(m, iterations=2)
+        assert out.sum() == 25  # 5x5 block
+        assert out[0, 4, 4] == 1.0
+
+
+class TestSynthetic:
+    def test_video_structure(self):
+        vid = make_synthetic_video(frames_static=3, frames_dynamic=2,
+                                   n_bg=40, n_obj=15, width=32, height=24)
+        assert len(vid.cameras) == 8
+        c = vid.cameras[0]
+        assert c.gt_image.shape == (3, 24, 32)
+        assert c.hand_mask.shape == (1, 24, 32)
+        # object visible in some masks
+        assert sum(float(jnp.sum(c.obj_mask)) for c in vid.cameras) > 0
+        # dynamic frames have identity deltas outside the phase
+        np.testing.assert_allclose(vid.gt_obj_deltas[0], np.eye(4))
+        assert not np.allclose(vid.gt_obj_deltas[3], np.eye(4))
+
+    def test_object_moves_in_dynamic_phase(self):
+        vid = make_synthetic_video(frames_static=3, frames_dynamic=2,
+                                   n_bg=40, n_obj=15, width=32, height=24)
+        # images differ between the two static phases (object moved)
+        img_before = np.asarray(vid.cameras[2].gt_image)
+        img_after = np.asarray(vid.cameras[6].gt_image)
+        assert np.abs(img_before - img_after).max() > 0.1
+
+    def test_stack_cameras(self):
+        vid = make_synthetic_video(frames_static=2, frames_dynamic=1,
+                                   n_bg=30, n_obj=10, width=32, height=24)
+        batch = stack_cameras(vid.cameras)
+        assert batch.num_frames == 5
+        assert batch.images.shape == (5, 3, 24, 32)
+        cam, img, hand, obj = batch.frame(jnp.int32(2))
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(vid.cameras[2].gt_image)
+        )
+        np.testing.assert_allclose(
+            np.asarray(cam.viewmat), np.asarray(vid.cameras[2].viewmat)
+        )
