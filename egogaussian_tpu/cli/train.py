@@ -1,0 +1,84 @@
+"""Training CLI — drop-in twin of reference `train.py`.
+
+Usage (same dataset layout and split files as the reference):
+  python -m egogaussian_tpu.cli.train -s <dataset_dir> -m <output_dir> \
+      [--resume] [--backend tiled] [--seed 0]
+
+Reads the reference split layout (train.py:53-65):
+  <dataset>/split/training_frames.txt
+  <dataset>/split/dynamic_eval_frames.txt
+  <dataset>/split/static_eval_frames.txt
+  <dataset>/split/phase_frame_index.txt   (alternating static/dynamic pairs)
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+from egogaussian_tpu.config import add_config_args, extract_config, save_config
+from egogaussian_tpu.data.readers import (
+    load_colmap_scene,
+    read_phase_index,
+    read_split_file,
+)
+from egogaussian_tpu.pipeline import run_pipeline
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="EgoGaussian-TPU training pipeline")
+    add_config_args(parser)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from existing stage artifacts")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lpips_weights", default=None,
+                        help=".npz LPIPS weights (eval/lpips.py)")
+    args = parser.parse_args(argv)
+    cfg = extract_config(args)
+
+    src = cfg.model.source_path
+    out = cfg.model.model_path or os.path.join(src, "output")
+    os.makedirs(out, exist_ok=True)
+    save_config(cfg, os.path.join(out, "cfg_args.json"))
+
+    split_dir = os.path.join(src, "split")
+    training_frames = read_split_file(os.path.join(split_dir, "training_frames.txt"))
+    dynamic_eval = read_split_file(
+        os.path.join(split_dir, "dynamic_eval_frames.txt")
+    )
+    static_eval = read_split_file(os.path.join(split_dir, "static_eval_frames.txt"))
+    static_phases, dynamic_phases = read_phase_index(
+        os.path.join(split_dir, "phase_frame_index.txt")
+    )
+
+    CONSOLE.print(f"Loading COLMAP scene from {src}")
+    scene = load_colmap_scene(src, cfg.model.images, cfg.model.resolution)
+    CONSOLE.print(
+        f"{len(scene.cameras)} cameras, {len(scene.points)} init points, "
+        f"extent {scene.cameras_extent:.3f}"
+    )
+
+    lpips_fn = None
+    if args.lpips_weights:
+        from egogaussian_tpu.eval.lpips import LPIPS
+
+        lpips_fn = LPIPS(weights_path=args.lpips_weights)
+
+    result = run_pipeline(
+        scene, cfg, out,
+        training_frames=training_frames,
+        dynamic_eval_frames=dynamic_eval,
+        static_eval_frames=static_eval,
+        static_phases=static_phases,
+        dynamic_phases=dynamic_phases,
+        seed=args.seed,
+        backend=cfg.render.backend,
+        resume=args.resume,
+        lpips_fn=lpips_fn,
+    )
+    CONSOLE.print("Final metrics:", result.metrics)
+    return result
+
+
+if __name__ == "__main__":
+    main()

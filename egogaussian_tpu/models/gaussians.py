@@ -230,6 +230,46 @@ def compact(model: GaussianModel, capacity: Optional[int] = None) -> GaussianMod
     return dataclasses.replace(model, params=params, aux=aux)
 
 
+def ensure_capacity(model, opt_state, min_free: int = None):
+    """Host-side capacity growth: if fewer than `min_free` dead slots remain,
+    double the capacity (power-of-2 buckets => rare recompiles; SURVEY.md §7
+    hard-part 2). Pads params, aux and Adam moments with zeros; returns
+    (model, opt_state, grew: bool)."""
+    import jax.tree_util as jtu
+
+    n = int(np.asarray(model.num_alive))
+    C = model.capacity
+    if min_free is None:
+        min_free = max(C // 8, 256)
+    if C - n >= min_free:
+        return model, opt_state, False
+    new_c = C * 2
+
+    def pad(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((C,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    params = jtu.tree_map(pad, model.params)
+    # aux needs type-correct padding (alive False, quats not needed here)
+    aux = GaussianAux(
+        alive=jnp.concatenate([model.aux.alive, jnp.zeros((C,), bool)]),
+        generation=pad(model.aux.generation),
+        is_object=pad(model.aux.is_object),
+        max_radii2d=pad(model.aux.max_radii2d),
+        xyz_gradient_accum=pad(model.aux.xyz_gradient_accum),
+        denom=pad(model.aux.denom),
+    )
+    new_model = dataclasses.replace(model, params=params, aux=aux)
+    new_opt = dataclasses.replace(
+        opt_state,
+        mu=jtu.tree_map(pad, opt_state.mu),
+        nu=jtu.tree_map(pad, opt_state.nu),
+    )
+    assert new_model.capacity == new_c
+    return new_model, new_opt, True
+
+
 def combine_models(a: GaussianModel, b: GaussianModel) -> GaussianModel:
     """Concatenate two models (reference combine_gaussians,
     gaussian_model.py:1072-1089) — host-side, used by fine_all to merge the
@@ -272,8 +312,16 @@ def save_ply(model: GaussianModel, path: str) -> None:
     n = xyz.shape[0]
     normals = np.zeros_like(xyz)
     # reference stores f_dc/f_rest as [N, K, 3] transposed to channel-major
-    f_dc = np.asarray(model.params.features_dc)[idx].transpose(0, 2, 1).reshape(n, -1)
-    f_rest = np.asarray(model.params.features_rest)[idx].transpose(0, 2, 1).reshape(n, -1)
+    k_dc = model.params.features_dc.shape[1]
+    k_rest = model.params.features_rest.shape[1]
+    f_dc = (
+        np.asarray(model.params.features_dc)[idx].transpose(0, 2, 1).reshape(n, 3 * k_dc)
+    )
+    f_rest = (
+        np.asarray(model.params.features_rest)[idx]
+        .transpose(0, 2, 1)
+        .reshape(n, 3 * k_rest)
+    )
     opacity = np.asarray(model.params.opacity_logit)[idx]
     scales = np.asarray(model.params.log_scales)[idx]
     rots = np.asarray(model.params.quats)[idx]

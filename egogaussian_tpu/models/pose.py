@@ -130,6 +130,7 @@ def save_pose_sequence(path: str, seq: PoseSequence, frame_names: list[str]) -> 
     as npz keyed by frame names."""
     import os
 
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as f:
         np.savez(

@@ -44,14 +44,17 @@ def mean_sq_dist_to_knn(
             - 2.0 * (b @ jnp.where(valid[:, None], pts, 0.0).T)
             + sq[None, :]
         )
-        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        big = jnp.float32(1e30)  # inf breaks approx_min_k's reduction
+        d2 = jnp.where(valid[None, :], d2, big)
         # exclude self-distance
         rows = block_idx * block_size + jnp.arange(block_size)
         self_mask = rows[:, None] == jnp.arange(n_pad)[None, :]
-        d2 = jnp.where(self_mask, jnp.inf, d2)
-        # k smallest via top_k on negated distances
-        neg_topk, _ = jax.lax.top_k(-d2, k)
-        return jnp.mean(-neg_topk, axis=-1)
+        d2 = jnp.where(self_mask, big, d2)
+        # k smallest: lax.approx_min_k is the TPU-native fast path (exact
+        # top_k lowers to a full sort of the N-wide rows — minutes at 100k);
+        # recall>=0.99 is far more accuracy than a scale seed needs.
+        smallest, _ = jax.lax.approx_min_k(d2, k, recall_target=0.99)
+        return jnp.mean(smallest, axis=-1)
 
     out = jax.lax.map(
         lambda args: per_block(*args),

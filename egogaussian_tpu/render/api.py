@@ -103,6 +103,13 @@ def render(
             proj, colors, opacities, bg, camera.width, camera.height,
             config=tile_config,
         )
+    elif backend == "pallas":
+        from egogaussian_tpu.render.tiled import composite_pallas
+
+        out = composite_pallas(
+            proj, colors, opacities, bg, camera.width, camera.height,
+            config=tile_config,
+        )
     else:
         raise ValueError(f"unknown render backend: {backend}")
 

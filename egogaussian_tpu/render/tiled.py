@@ -187,13 +187,67 @@ def composite_tiled(
         batch_size=min(config.map_batch, n_tx * n_ty),
     )
 
-    # Reassemble [n_tiles, P(, D)] -> [H, W(, D)] and crop padding
-    def untile(x, channels):
-        x = x.reshape(n_ty, n_tx, ts, ts, channels)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(n_ty * ts, n_tx * ts, channels)
-        return x[:height, :width]
+    image = _untile(imgs, n_tx, n_ty, ts, width, height)
+    alpha = _untile(alphas[..., None], n_tx, n_ty, ts, width, height)
+    depth = _untile(depths_img[..., None], n_tx, n_ty, ts, width, height)
+    return RenderOutput(image=image, alpha=alpha, depth=depth, radii=proj.radii)
 
-    image = untile(imgs, d).transpose(2, 0, 1)
-    alpha = untile(alphas[..., None], 1).transpose(2, 0, 1)
-    depth = untile(depths_img[..., None], 1).transpose(2, 0, 1)
+
+def _untile(x, n_tx, n_ty, ts, width, height):
+    """[n_tiles, P, C] (or [n_tiles, P]) -> [C, H, W], cropping tile padding."""
+    if x.ndim == 2:
+        x = x[..., None]
+    c = x.shape[-1]
+    x = x.reshape(n_ty, n_tx, ts, ts, c)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(n_ty * ts, n_tx * ts, c)
+    return x[:height, :width].transpose(2, 0, 1)
+
+
+def composite_pallas(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    config: Optional[TileConfig] = None,
+    interpret: Optional[bool] = None,
+) -> RenderOutput:
+    """Same semantics as composite_tiled, but the per-tile compositing runs
+    in the fused Pallas kernel pair (render/pallas_raster.py). Binning and
+    the per-tile gathers stay in XLA so their VJPs (scatter-adds back to the
+    N-Gaussian arrays) come for free."""
+    from egogaussian_tpu.render.pallas_raster import make_tile_compositor
+
+    n = proj.depths.shape[0]
+    d = colors.shape[-1]
+    config = _default_config(n, config)
+    ts = config.tile_size
+
+    order, tile_gather, tile_mask, (n_tx, n_ty) = bin_gaussians(
+        proj, width, height, config
+    )
+    means2d = proj.means2d[order]
+    conics = proj.conics[order]
+    depths = proj.depths[order]
+    cols = colors[order]
+    ops = opacities[order]
+
+    mu_t = means2d[tile_gather]  # [T, M, 2]
+    con_t = conics[tile_gather]  # [T, M, 3]
+    op_t = jnp.where(tile_mask, ops[tile_gather], 0.0)[..., None]  # [T, M, 1]
+    col_t = cols[tile_gather]  # [T, M, D]
+    z_t = depths[tile_gather][..., None]  # [T, M, 1]
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    compositor = make_tile_compositor(
+        n_tx * n_ty, config.max_per_tile, d, ts, n_tx, interpret=interpret
+    )
+    img_t, alpha_t, depth_t = compositor(
+        mu_t, con_t, op_t, col_t, z_t, bg[None, :]
+    )
+    image = _untile(img_t, n_tx, n_ty, ts, width, height)
+    alpha = _untile(alpha_t, n_tx, n_ty, ts, width, height)
+    depth = _untile(depth_t, n_tx, n_ty, ts, width, height)
     return RenderOutput(image=image, alpha=alpha, depth=depth, radii=proj.radii)

@@ -1,0 +1,343 @@
+"""Stage 2: coarse per-frame object-pose estimation.
+
+Behavioral twin of reference `trainers/coarse_obj_pose.py:88-369`
+(SURVEY.md §3.3), re-architected for TPU:
+
+  * The apply/reverse xyz mutation dance is replaced by rendering from
+    `xyz' = where(is_object, T_trainable ∘ T_accum_prev (xyz), xyz)` as a
+    pure function of (params, pose); covariance of object Gaussians is
+    rotated by the same rotation (render(..., rot_cov=True) twin).
+  * The pose sequence is a dense PoseSequence pytree; accumulated transforms
+    are an associative scan (models/pose.py) recomputed on device.
+  * The warm-up / densify-window / restore LR choreography
+    (coarse_obj_pose.py:178-193) is host-computed per iteration into LR
+    trees passed to ONE jitted step (two variants: pose-trainable /
+    pose-fixed).
+
+Schedule per dynamic frame (30k iters each, CoarseParams):
+  it < warm_up(20k):       pose-only (gaussian LRs zero unless first frame
+                           of phase, which trains shape at /10 LRs)
+  warm_up..densify_from:   gaussians at /10 LRs, xyz at /100
+  densify window (20.5k-25.5k): pose frozen, xyz back to /10 with expon
+                           schedule, densify/prune which_object=1 every 500,
+                           object opacity reset every 2.5k
+  after:                   pose LR restored (full), densification off
+Frame selection: p=0.4 current frame (pose trainable; last dynamic frame
+trains against next static phase's frames), else weighted previous frame
+(static 1x, solved dynamic 2x) with a nonempty object mask; iteration 1
+always uses the very first static frame.
+Loss: 1.0*[0.9*L1 + 0.1*(1-SSIM)](gt*obj_mask, render) + 0.5*L2(obj_mask,
+alpha), hand-mask gradient gating on image AND alpha.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data.readers import FrameBatch, stack_cameras
+from egogaussian_tpu.models.densify import add_densification_stats
+from egogaussian_tpu.models.gaussians import GaussianModel, ensure_capacity, save_ply
+from egogaussian_tpu.models.optim import (
+    adam_init,
+    adam_update,
+    expon_lr,
+    gaussian_lr_tree,
+)
+from egogaussian_tpu.models.pose import (
+    ObjectPose,
+    PoseSequence,
+    empty_pose_sequence,
+    identity_pose,
+    pose_to_se3,
+    save_pose_sequence,
+)
+from egogaussian_tpu.ops.losses import l1_loss, l2_loss
+from egogaussian_tpu.train.common import image_loss, mask_grad, render_gaussians
+from egogaussian_tpu.train.static import _densify_jit, _reset_opacity_jit
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "train_pose", "lambda_image", "lambda_dssim", "lambda_l1_alpha",
+        "lambda_l2_alpha", "backend",
+    ),
+)
+def pose_step(
+    model: GaussianModel,
+    opt_state,
+    pose: ObjectPose,
+    pose_opt_state,
+    batch: FrameBatch,
+    cam_idx: jnp.ndarray,
+    fixed_T: jnp.ndarray,
+    fixed_R: jnp.ndarray,
+    lr_tree,
+    pose_lr_t: jnp.ndarray,
+    pose_lr_r: jnp.ndarray,
+    record_stats: jnp.ndarray,
+    train_pose: bool,
+    lambda_image: float = 1.0,
+    lambda_dssim: float = 0.1,
+    lambda_l1_alpha: float = 0.0,
+    lambda_l2_alpha: float = 0.5,
+    backend: str = "tiled",
+):
+    """One pose-optimization iteration (shared by stages 2 and 3)."""
+    cam, gt, hand, obj_mask = batch.frame(cam_idx)
+    bg = jnp.zeros(3, model.params.xyz.dtype)
+    probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
+
+    def loss_fn(params, pose_p, probe):
+        m = dataclasses.replace(model, params=params)
+        if train_pose:
+            T = pose_to_se3(pose_p) @ fixed_T
+            R_extra = pose_p.rotation @ fixed_R
+        else:
+            T = fixed_T
+            R_extra = fixed_R
+        res = render_gaussians(
+            m, cam, bg, pose_T=T, extra_rot=R_extra, means2d_probe=probe,
+            backend=backend,
+        )
+        img = mask_grad(res.image, hand)
+        alpha = mask_grad(res.alpha, hand)
+        gt_obj = gt * obj_mask
+        loss = lambda_image * image_loss(img, gt_obj, lambda_dssim)
+        loss = loss + lambda_l1_alpha * l1_loss(obj_mask, alpha)
+        loss = loss + lambda_l2_alpha * l2_loss(obj_mask, alpha)
+        return loss, (res.radii, loss)
+
+    grads, (radii, loss) = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+        model.params, pose, probe
+    )
+    param_grads, pose_grads, probe_grads = grads
+
+    # densification stats only after warm-up (coarse_obj_pose.py:283-287)
+    stats_model = add_densification_stats(model, probe_grads, radii)
+    model = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(record_stats, b, a), model, stats_model
+    )
+
+    new_params, new_opt = adam_update(model.params, param_grads, opt_state, lr_tree)
+    model = dataclasses.replace(model, params=new_params)
+
+    if train_pose:
+        pose_lrs = ObjectPose(translation=pose_lr_t, rot6d=pose_lr_r)
+        pose, pose_opt_state = adam_update(
+            pose, pose_grads, pose_opt_state, pose_lrs
+        )
+    return model, new_opt, pose, pose_opt_state, loss, radii
+
+
+def _coarse_xyz_lr(it: int, cfg: Config, spatial: float, first_frame: bool) -> float:
+    """xyz LR choreography for the coarse stage (coarse_obj_pose.py:178-196)."""
+    cp = cfg.coarse
+    base = cfg.opt.position_lr_init * spatial / 10.0
+    if it < cp.warm_up_iter:
+        return base if first_frame else 0.0
+    if it <= cp.densify_from_iter:
+        return base / 10.0
+    return float(
+        expon_lr(
+            jnp.asarray(it - cp.densify_from_iter, jnp.float32),
+            base,
+            cfg.opt.position_lr_final * spatial / 10.0,
+            lr_delay_mult=cfg.opt.position_lr_delay_mult,
+            max_steps=cfg.opt.position_lr_max_steps,
+        )
+    )
+
+
+def _coarse_lr_tree(model, it, cfg: Config, first_frame: bool):
+    """Gaussian-field LR tree for the coarse stage: /10 dividers, opacity NOT
+    divided (train_coarse_obj_setup, gaussian_model.py:810-849); zeroed
+    during warm-up unless it's the first frame of the phase."""
+    cp = cfg.coarse
+    o = cfg.opt
+    active = first_frame or it >= cp.warm_up_iter
+    z = 0.0
+    lrs = dict(
+        xyz=_coarse_xyz_lr(it, cfg, model.spatial_lr_scale, first_frame) if active else z,
+        features_dc=o.feature_lr / 10.0 if active else z,
+        features_rest=o.feature_lr / 20.0 / 10.0 if active else z,
+        log_scales=o.scaling_lr / 10.0 if active else z,
+        quats=o.rotation_lr / 10.0 if active else z,
+        opacity_logit=o.opacity_lr if active else z,
+        label=z,
+    )
+    return dataclasses.replace(
+        jax.tree_util.tree_map(lambda x: 0.0, model.params),
+        **{k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
+    )
+
+
+def _pose_lrs(it: int, cfg: Config) -> Tuple[float, float]:
+    """Pose LR: active until densify_from, frozen in the window, restored
+    after densify_until (coarse_obj_pose.py:185-192)."""
+    cp = cfg.coarse
+    if cp.densify_from_iter <= it < cp.densify_until_iter:
+        return 0.0, 0.0
+    return cfg.opt.obj_translation_lr, cfg.opt.obj_rotation_lr
+
+
+def estimate_coarse_obj_pose(
+    cameras: Sequence,
+    obj_model: GaussianModel,
+    cfg: Config,
+    static_phase_frames: List[List[int]],
+    dynamic_phase_frames: List[List[int]],
+    cameras_extent: float,
+    save_dir: Optional[str] = None,
+    seed: int = 0,
+    backend: str = "tiled",
+) -> Tuple[PoseSequence, GaussianModel, Dict[int, str]]:
+    """Stage 2. Returns (pose_sequence over all cameras, refined object
+    model, {camera_index: image_name} for solved frames)."""
+    rng = np.random.RandomState(seed)
+    cp = cfg.coarse
+    model = obj_model
+    batch = stack_cameras(list(cameras))
+    F = batch.num_frames
+    pose_seq = empty_pose_sequence(F)
+    solved_names: Dict[int, str] = {}
+
+    for phase, dyn_frames in enumerate(dynamic_phase_frames):
+        # append first frame of the next static phase (coarse_obj_pose.py:137)
+        frames = list(dyn_frames) + [static_phase_frames[phase + 1][0]]
+        CONSOLE.log(
+            f"[coarse] phase {phase}: frames {frames[0]}..{frames[-1]} "
+            f"({len(frames)} incl. next-static anchor)"
+        )
+        for i, f_cur in enumerate(frames):
+            # fixed accumulated transform up to the previous frame
+            accum_T = np.asarray(pose_seq.accum_T())
+            accum_R = np.asarray(pose_seq.accum_R())
+            fixed_T_cur = jnp.asarray(
+                accum_T[f_cur - 1] if f_cur > 0 else np.eye(4, dtype=np.float32)
+            )
+            fixed_R_cur = jnp.asarray(
+                accum_R[f_cur - 1] if f_cur > 0 else np.eye(3, dtype=np.float32)
+            )
+
+            # previous-frame sampling pool (static 1x, solved dynamic 2x;
+            # only frames with a nonempty object mask)
+            pool: List[int] = []
+            weights: List[float] = []
+            for g in static_phase_frames[phase]:
+                pool.append(g)
+                weights.append(1.0)
+            for g in dyn_frames:
+                if g < f_cur and g in solved_names:
+                    pool.append(g)
+                    weights.append(2.0)
+            mask_ok = np.asarray(
+                jnp.sum(batch.obj_masks[jnp.asarray(pool)], axis=(1, 2, 3)) > 0
+            )
+            pool = [p for p, ok in zip(pool, mask_ok) if ok]
+            weights = np.array(
+                [w for w, ok in zip(weights, mask_ok) if ok], np.float64
+            )
+            weights = weights / weights.sum()
+
+            pose = identity_pose()
+            pose_opt = adam_init(pose)
+            opt_state = adam_init(model.params)  # fresh Adam per frame
+            key = jax.random.PRNGKey(seed * 1000 + f_cur)
+            first_frame = i == 0
+            is_last = i == len(frames) - 1
+            next_static = static_phase_frames[phase + 1]
+
+            for it in range(1, cp.total_num_iter + 1):
+                # --- frame selection (coarse_obj_pose.py:196-222) ---
+                if it == 1:
+                    cam_idx, train_p = static_phase_frames[0][0], False
+                elif rng.rand() <= cp.curr_vpt_prob:
+                    cam_idx = (
+                        next_static[rng.randint(len(next_static))]
+                        if is_last
+                        else f_cur
+                    )
+                    train_p = True
+                else:
+                    cam_idx = pool[rng.choice(len(pool), p=weights)]
+                    train_p = False
+
+                lr_tree = _coarse_lr_tree(model, it, cfg, first_frame)
+                plr_t, plr_r = _pose_lrs(it, cfg)
+                if train_p:
+                    fixed_T, fixed_R = fixed_T_cur, fixed_R_cur
+                else:
+                    fixed_T = jnp.asarray(accum_T[cam_idx])
+                    fixed_R = jnp.asarray(accum_R[cam_idx])
+                model, opt_state, pose, pose_opt, loss, radii = pose_step(
+                    model, opt_state, pose, pose_opt, batch,
+                    jnp.int32(cam_idx), fixed_T, fixed_R, lr_tree,
+                    jnp.float32(plr_t), jnp.float32(plr_r),
+                    jnp.asarray(it > cp.warm_up_iter),
+                    train_pose=train_p,
+                    lambda_image=cp.lambda_image,
+                    lambda_dssim=cp.lambda_dssim,
+                    lambda_l1_alpha=cp.lambda_Ll1_alpha,
+                    lambda_l2_alpha=cp.lambda_Ll2_alpha,
+                    backend=backend,
+                )
+                if train_p:
+                    pose_seq = pose_seq.update_frame(f_cur, pose)
+
+                # --- densification window (coarse_obj_pose.py:324-337) ---
+                if it < cp.densify_until_iter and it > cp.densify_from_iter:
+                    if it % cp.densification_interval == 0:
+                        size_threshold = (
+                            20.0 if it > cp.opacity_reset_interval else None
+                        )
+                        key, sub = jax.random.split(key)
+                        res = _densify_jit(
+                            model, opt_state, sub,
+                            max_grad=cp.densify_grad_threshold,
+                            min_opacity=cp.min_opacity,
+                            extent=cameras_extent,
+                            max_screen_size=size_threshold,
+                            percent_dense=cfg.opt.percent_dense,
+                            which_object=1,
+                        )
+                        model, opt_state = res.model, res.opt_state
+                        model, opt_state, _ = ensure_capacity(model, opt_state)
+                    if it % cp.opacity_reset_interval == 0:
+                        model, opt_state = _reset_opacity_jit(
+                            model, opt_state, which_object=1
+                        )
+
+            solved_names[f_cur] = cameras[f_cur].image_name
+            CONSOLE.log(
+                f"[coarse] solved frame {cameras[f_cur].image_name} "
+                f"({i+1}/{len(frames)}), loss {float(loss):.4f}"
+            )
+            if save_dir:
+                save_pose_sequence(
+                    os.path.join(save_dir, "obj_pose_sequence.npz"),
+                    pose_seq,
+                    [c.image_name for c in cameras],
+                )
+                if (i + 1) % cp.save_ply_every == 0:
+                    save_ply(
+                        model,
+                        os.path.join(save_dir, "ply", f"gaussians_frame{f_cur}.ply"),
+                    )
+
+    if save_dir:
+        save_ply(model, os.path.join(save_dir, "ply", "gaussians_final.ply"))
+        save_pose_sequence(
+            os.path.join(save_dir, "obj_pose_sequence.npz"),
+            pose_seq,
+            [c.image_name for c in cameras],
+        )
+    return pose_seq, model, solved_names

@@ -1,0 +1,131 @@
+"""Shared training-step machinery for all stages.
+
+Redesign notes (vs. the reference trainers/ package):
+  * Hand-mask **gradient** gating (the reference's
+    `render_image.register_hook(lambda g: g * (1 - hand_mask))`,
+    train_static.py:91) is expressed functionally:
+    `img_used = img*(1-m) + stop_gradient(img)*m` — identical value,
+    identical gradient, jit-safe (SURVEY.md §7 step 6).
+  * The apply/reverse pose dance (reference mutates _xyz, renders, reverses,
+    writes back into Adam each iteration — coarse_obj_pose.py:229-317) is
+    replaced by rendering from `xyz' = where(is_object, T(xyz), xyz)` as a
+    pure function; there is nothing to reverse (SURVEY.md §7 hard-part 3).
+  * Learning-rate choreography is data: per-field LR trees computed on host
+    per iteration and passed into one jitted step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from egogaussian_tpu.models.gaussians import GaussianModel
+from egogaussian_tpu.models.optim import AdamState
+from egogaussian_tpu.ops.losses import l1_loss, ssim
+from egogaussian_tpu.ops.sh import sh_to_rgb
+from egogaussian_tpu.render.api import render, RenderResult
+from egogaussian_tpu.render.camera import Camera
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    model: GaussianModel
+    opt_state: AdamState
+    step: jnp.ndarray  # int32
+
+
+def mask_grad(img: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero gradients at masked pixels without changing the forward value."""
+    return img * (1.0 - mask) + jax.lax.stop_gradient(img) * mask
+
+
+def image_loss(
+    pred: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float
+) -> jnp.ndarray:
+    """(1-l)*L1 + l*(1-SSIM) — the standard 3DGS photometric loss."""
+    return (1.0 - lambda_dssim) * l1_loss(pred, gt) + lambda_dssim * (
+        1.0 - ssim(pred, gt)
+    )
+
+
+def opacity_entropy(opacity: jnp.ndarray, visible: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary entropy of visible Gaussians' opacities
+    (reference train_static.py:97-102)."""
+    o = opacity
+    ent = -o * jnp.log(o + 1e-10) - (1 - o) * jnp.log(1 - o + 1e-10)
+    w = visible.astype(o.dtype)
+    return jnp.sum(ent * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def model_colors(model: GaussianModel) -> jnp.ndarray:
+    """Degree-0 SH -> RGB with non-negativity clamp (the CUDA rasterizer's
+    SH path clamps at 0; gaussian_renderer/__init__.py:77-87)."""
+    return jnp.clip(sh_to_rgb(model.params.features_dc[:, 0, :]), 0.0, None)
+
+
+def render_gaussians(
+    model: GaussianModel,
+    camera: Camera,
+    bg: jnp.ndarray,
+    pose_T: Optional[jnp.ndarray] = None,
+    extra_rot: Optional[jnp.ndarray] = None,
+    which_object: int = 1,
+    means2d_probe: Optional[jnp.ndarray] = None,
+    colors_override: Optional[jnp.ndarray] = None,
+    backend: str = "tiled",
+    tile_config=None,
+) -> RenderResult:
+    """Render the model, optionally moving the object subset by a rigid
+    transform and rotating its covariance (reference render(...) with
+    rot_cov=True/accum_R, gaussian_renderer/__init__.py:18-107).
+
+    Args:
+      pose_T: [4, 4] SE(3) applied to Gaussians with is_object==which_object
+      extra_rot: [3, 3] rotation for those Gaussians' covariance (usually
+        pose_T's rotation, possibly including the trainable frame delta)
+    """
+    p = model.params
+    xyz = p.xyz
+    if pose_T is not None:
+        moved = xyz @ pose_T[:3, :3].T + pose_T[:3, 3]
+        obj_mask = (model.aux.is_object == which_object)[:, None]
+        xyz = jnp.where(obj_mask, moved, xyz)
+    if extra_rot is not None:
+        cov3d = model.covariance_rotated(extra_rot, which_object)
+    else:
+        cov3d = model.covariance()
+    colors = colors_override if colors_override is not None else model_colors(model)
+    return render(
+        camera,
+        xyz,
+        cov3d,
+        model.opacity,
+        bg,
+        colors_precomp=colors,
+        valid_mask=model.aux.alive,
+        means2d_probe=means2d_probe,
+        backend=backend,
+        tile_config=tile_config,
+    )
+
+
+def render_label_image(
+    model: GaussianModel, camera: Camera, backend: str = "tiled"
+) -> jnp.ndarray:
+    """[1, H, W] label rendering with detached geometry
+    (reference get_render_label, render_helper.py:38-64)."""
+    sg = jax.lax.stop_gradient
+    res = render(
+        camera,
+        sg(model.params.xyz),
+        sg(model.covariance()),
+        sg(model.opacity),
+        bg=jnp.zeros((1,), model.params.xyz.dtype),
+        colors_precomp=model.params.label,
+        valid_mask=model.aux.alive,
+        backend=backend,
+    )
+    return res.image

@@ -1,0 +1,141 @@
+"""Stage 5: fine-tune the full scene (object + background together).
+
+Behavioral twin of reference `trainers/fine_all.py:25-138`:
+  object PLY + background PLY combined into one model; 40k iterations;
+  pose FROZEN (poses applied as fixed per-frame transforms); full-frame
+  0.8*L1 + 0.2*(1-SSIM) with hand-mask gradient gating only; 4:1 dynamic
+  frame sampling; no densification — only the opacity-clamp pass the
+  reference applies inside the [densify_from, densify_until) window on
+  iterations NOT divisible by opacity_reset_interval (fine_all.py:121-124;
+  faithfully reproduced — it keeps opacities <= 0.01 through that window
+  which culls floaters before the final convergence).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data.readers import FrameBatch, stack_cameras
+from egogaussian_tpu.models.gaussians import GaussianModel, combine_models, save_ply
+from egogaussian_tpu.models.optim import adam_init, adam_update, expon_lr
+from egogaussian_tpu.models.pose import PoseSequence
+from egogaussian_tpu.train.common import image_loss, mask_grad, render_gaussians
+from egogaussian_tpu.train.static import _reset_opacity_jit
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+@functools.partial(jax.jit, static_argnames=("lambda_dssim", "backend"))
+def _fine_all_step(
+    model: GaussianModel,
+    opt_state,
+    batch: FrameBatch,
+    cam_idx: jnp.ndarray,
+    fixed_T: jnp.ndarray,
+    fixed_R: jnp.ndarray,
+    lr_tree,
+    lambda_dssim: float = 0.2,
+    backend: str = "tiled",
+):
+    cam, gt, hand, _ = batch.frame(cam_idx)
+    bg = jnp.zeros(3, model.params.xyz.dtype)
+
+    def loss_fn(params):
+        m = dataclasses.replace(model, params=params)
+        res = render_gaussians(
+            m, cam, bg, pose_T=fixed_T, extra_rot=fixed_R, backend=backend
+        )
+        img = mask_grad(res.image, hand)
+        return image_loss(img, gt, lambda_dssim)
+
+    loss, grads = jax.value_and_grad(loss_fn)(model.params)
+    new_params, new_opt = adam_update(model.params, grads, opt_state, lr_tree)
+    return dataclasses.replace(model, params=new_params), new_opt, loss
+
+
+def _fine_all_lr_tree(model, it: int, cfg: Config):
+    """train_fine_all_setup with divide_3dgs_lr_by=1 (fine_all.py:55) + the
+    per-iteration xyz expon schedule."""
+    o = cfg.opt
+    spatial = model.spatial_lr_scale
+    xyz_lr = float(
+        expon_lr(
+            jnp.asarray(it, jnp.float32),
+            o.position_lr_init * spatial,
+            o.position_lr_final * spatial,
+            lr_delay_mult=o.position_lr_delay_mult,
+            max_steps=o.position_lr_max_steps,
+        )
+    )
+    lrs = dict(
+        xyz=xyz_lr,
+        features_dc=o.feature_lr,
+        features_rest=o.feature_lr / 20.0,
+        log_scales=o.scaling_lr,
+        quats=o.rotation_lr,
+        opacity_logit=o.opacity_lr,
+        label=0.0,
+    )
+    return dataclasses.replace(
+        jax.tree_util.tree_map(lambda x: 0.0, model.params),
+        **{k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
+    )
+
+
+def fine_tune_all(
+    cameras: Sequence,
+    obj_model: GaussianModel,
+    bg_model: GaussianModel,
+    pose_seq: PoseSequence,
+    cfg: Config,
+    static_phase_frames: List[List[int]],
+    dynamic_phase_frames: List[List[int]],
+    save_dir: Optional[str] = None,
+    seed: int = 0,
+    backend: str = "tiled",
+) -> GaussianModel:
+    rng = np.random.RandomState(seed)
+    ap = cfg.fine_all
+    model = combine_models(obj_model, bg_model)
+    model = dataclasses.replace(model, spatial_lr_scale=obj_model.spatial_lr_scale)
+    batch = stack_cameras(list(cameras))
+
+    static_list = [f for ph in static_phase_frames for f in ph]
+    dynamic_list = [f for ph in dynamic_phase_frames for f in ph]
+    frames = static_list + dynamic_list
+    weights = np.array([1.0] * len(static_list) + [4.0] * len(dynamic_list))
+    weights = weights / weights.sum()
+
+    opt_state = adam_init(model.params)
+    accum_T = np.asarray(pose_seq.accum_T())
+    accum_R = np.asarray(pose_seq.accum_R())
+    CONSOLE.log(
+        f"[fine_all] {int(model.num_alive)} gaussians, "
+        f"{len(frames)} frames, {ap.total_num_iter} iters"
+    )
+
+    for it in range(1, ap.total_num_iter + 1):
+        if it == 1:
+            cam_idx = static_phase_frames[0][0]
+        else:
+            cam_idx = int(frames[rng.choice(len(frames), p=weights)])
+        lr_tree = _fine_all_lr_tree(model, it, cfg)
+        model, opt_state, loss = _fine_all_step(
+            model, opt_state, batch, jnp.int32(cam_idx),
+            jnp.asarray(accum_T[cam_idx]), jnp.asarray(accum_R[cam_idx]),
+            lr_tree, lambda_dssim=ap.lambda_dssim, backend=backend,
+        )
+        # the reference's stray opacity clamp (fine_all.py:121-124)
+        if ap.densify_from_iter < it < ap.densify_until_iter:
+            if it % ap.opacity_reset_interval:
+                model, opt_state = _reset_opacity_jit(model, opt_state)
+
+    if save_dir:
+        save_ply(model, os.path.join(save_dir, "gaussians_all.ply"))
+    return model

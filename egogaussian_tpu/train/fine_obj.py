@@ -1,0 +1,192 @@
+"""Stage 3: joint fine-tuning of object shape + per-frame pose.
+
+Behavioral twin of reference `trainers/fine_obj.py:27-237` (run twice, once
+from the static-phase object PLY and once from the coarse-stage PLY):
+
+  70k iterations sampling all frames with dynamic weighted 5:1.
+  Static frame -> shape only; dynamic frame -> the frame's stored pose delta
+  is loaded into the trainable pose and (possibly) refined; after the step
+  the updated delta is written back and the accumulated transforms refresh.
+  Pose LRs start at 0 (train_fine_obj_setup, gaussian_model.py:782-809 —
+  the dividers are commented out in the reference), and are restored to the
+  full obj_*_lr at densify_until_iter: the pose effectively trains only in
+  the last (total - densify_until) iterations.
+  Gaussian LRs are the /5 dividers with the xyz expon schedule; densify/
+  prune which_object=1 every 50 iters in [500, 45k] + object opacity resets.
+  Loss: 0.8*L1+0.2*(1-SSIM) on gt*obj_mask + 0.2*L2(obj_mask, alpha),
+  hand-gradient gating on image and alpha.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data.readers import stack_cameras
+from egogaussian_tpu.models.gaussians import GaussianModel, ensure_capacity, save_ply
+from egogaussian_tpu.models.optim import adam_init, expon_lr
+from egogaussian_tpu.models.pose import (
+    ObjectPose,
+    PoseSequence,
+    pose_from_rt,
+    save_pose_sequence,
+)
+from egogaussian_tpu.train.coarse_pose import pose_step
+from egogaussian_tpu.train.static import _densify_jit, _reset_opacity_jit
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+def _fine_lr_tree(model, it: int, cfg: Config, divide_3dgs: float = 5.0):
+    """Gaussian LRs for fine_obj: /5 dividers, opacity not divided, xyz expon
+    schedule (train_fine_obj_setup + update_learning_rate per iter)."""
+    o = cfg.opt
+    spatial = model.spatial_lr_scale
+    xyz_lr = float(
+        expon_lr(
+            jnp.asarray(it, jnp.float32),
+            o.position_lr_init * spatial / divide_3dgs,
+            o.position_lr_final * spatial / divide_3dgs,
+            lr_delay_mult=o.position_lr_delay_mult,
+            max_steps=o.position_lr_max_steps,
+        )
+    )
+    lrs = dict(
+        xyz=xyz_lr,
+        features_dc=o.feature_lr / divide_3dgs,
+        features_rest=o.feature_lr / 20.0 / divide_3dgs,
+        log_scales=o.scaling_lr / divide_3dgs,
+        quats=o.rotation_lr / divide_3dgs,
+        opacity_logit=o.opacity_lr,
+        label=0.0,
+    )
+    return dataclasses.replace(
+        jax.tree_util.tree_map(lambda x: 0.0, model.params),
+        **{k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
+    )
+
+
+def fine_tune_obj(
+    cameras: Sequence,
+    obj_model: GaussianModel,
+    pose_seq: PoseSequence,
+    cfg: Config,
+    static_phase_frames: List[List[int]],
+    dynamic_phase_frames: List[List[int]],
+    cameras_extent: float,
+    save_dir: Optional[str] = None,
+    seed: int = 0,
+    backend: str = "tiled",
+) -> Tuple[PoseSequence, GaussianModel]:
+    """Stage 3 for ONE object PLY variant. The reference driver calls this
+    twice (from-static and from-coarse, fine_obj.py:49-61) and stage 5 picks
+    one; the CLI does the same."""
+    rng = np.random.RandomState(seed)
+    fp = cfg.fine
+    model = obj_model
+    batch = stack_cameras(list(cameras))
+    pose_seq = pose_seq
+
+    static_list = [f for ph in static_phase_frames for f in ph]
+    dynamic_list = [
+        f for ph in dynamic_phase_frames for f in ph
+        if bool(np.asarray(pose_seq.solved)[f])
+    ]
+    frames = static_list + dynamic_list
+    weights = np.array([1.0] * len(static_list) + [5.0] * len(dynamic_list))
+    weights = weights / weights.sum()
+    CONSOLE.log(
+        f"[fine_obj] {len(static_list)} static + {len(dynamic_list)} dynamic "
+        f"frames, {fp.total_num_iter} iters"
+    )
+
+    opt_state = adam_init(model.params)
+    pose_opt = adam_init(ObjectPose(jnp.zeros(3), jnp.eye(3)[:, :2]))
+    key = jax.random.PRNGKey(seed)
+
+    accum_T = np.asarray(pose_seq.accum_T())
+    accum_R = np.asarray(pose_seq.accum_R())
+
+    for it in range(1, fp.total_num_iter + 1):
+        if it == 1:
+            cam_idx, train_p = static_phase_frames[0][0], False
+        else:
+            cam_idx = int(frames[rng.choice(len(frames), p=weights)])
+            train_p = cam_idx in dynamic_list
+        lr_tree = _fine_lr_tree(model, it, cfg)
+        # pose LR: zero until densify_until, then full (fine_obj.py:90-95 +
+        # train_fine_obj_setup's zeroed groups)
+        if it >= fp.densify_until_iter:
+            plr_t, plr_r = cfg.opt.obj_translation_lr, cfg.opt.obj_rotation_lr
+        else:
+            plr_t, plr_r = 0.0, 0.0
+
+        if train_p:
+            # load the frame's stored delta into the trainable pose
+            # (fine_obj.py:113-119 .data injection twin)
+            pose = pose_from_rt(
+                jnp.asarray(np.asarray(pose_seq.rotations)[cam_idx]),
+                jnp.asarray(np.asarray(pose_seq.translations)[cam_idx]),
+            )
+            fixed_T = jnp.asarray(
+                accum_T[cam_idx - 1] if cam_idx > 0 else np.eye(4, np.float32)
+            )
+            fixed_R = jnp.asarray(
+                accum_R[cam_idx - 1] if cam_idx > 0 else np.eye(3, np.float32)
+            )
+        else:
+            pose = ObjectPose(jnp.zeros(3), jnp.eye(3)[:, :2])
+            fixed_T = jnp.asarray(accum_T[cam_idx])
+            fixed_R = jnp.asarray(accum_R[cam_idx])
+
+        model, opt_state, pose, pose_opt, loss, radii = pose_step(
+            model, opt_state, pose, pose_opt, batch,
+            jnp.int32(cam_idx), fixed_T, fixed_R, lr_tree,
+            jnp.float32(plr_t), jnp.float32(plr_r),
+            jnp.asarray(True),
+            train_pose=train_p,
+            lambda_image=fp.lambda_Ll1_image,
+            lambda_dssim=fp.lambda_dssim,
+            lambda_l1_alpha=fp.lambda_Ll1_alpha,
+            lambda_l2_alpha=fp.lambda_Ll2_alpha,
+            backend=backend,
+        )
+
+        if train_p and plr_t > 0:
+            # write back + refresh accums (fine_obj.py:216-224)
+            pose_seq = pose_seq.update_frame(cam_idx, pose)
+            accum_T = np.asarray(pose_seq.accum_T())
+            accum_R = np.asarray(pose_seq.accum_R())
+
+        if it < fp.densify_until_iter and it > fp.densify_from_iter:
+            if it % fp.densification_interval == 0:
+                size_threshold = 20.0 if it > fp.opacity_reset_interval else None
+                key, sub = jax.random.split(key)
+                res = _densify_jit(
+                    model, opt_state, sub,
+                    max_grad=fp.densify_grad_threshold,
+                    min_opacity=fp.min_opacity,
+                    extent=cameras_extent,
+                    max_screen_size=size_threshold,
+                    percent_dense=cfg.opt.percent_dense,
+                    which_object=1,
+                )
+                model, opt_state = res.model, res.opt_state
+                model, opt_state, _ = ensure_capacity(model, opt_state)
+            if it % fp.opacity_reset_interval == 0:
+                model, opt_state = _reset_opacity_jit(
+                    model, opt_state, which_object=1
+                )
+
+    if save_dir:
+        save_pose_sequence(
+            os.path.join(save_dir, "obj_pose_sequence.npz"),
+            pose_seq,
+            [c.image_name for c in cameras],
+        )
+        save_ply(model, os.path.join(save_dir, "gaussians_fine.ply"))
+    return pose_seq, model

@@ -1,0 +1,359 @@
+"""Stage 1.0 (static phases) and Stage 1.2 (background) trainers.
+
+Behavioral twin of reference `trainers/train_static.py` and
+`trainers/train_static_bg.py`, re-architected for TPU: one jitted step
+function per loss mode (std / entropy / label), frames gathered from a
+device-resident FrameBatch by traced index, densify/prune as jitted
+fixed-shape passes with host-side capacity growth.
+
+Stage summary (reference train_static.py:16-207):
+  per static phase, re-initialized from the COLMAP point cloud:
+    iters 1..std:            0.8*L1 + 0.2*(1-SSIM), hand-grad-masked
+    iters std..std+entropy:  + 0.1 * opacity entropy of visible Gaussians
+      (then prune opacity < 0.5 and shrink to `rewind_frames` frames)
+    iters ..+label:          BCE(label render, obj mask), all LRs zero
+      except label (update_lr_for_label, gaussian_model.py:204-210)
+  densify/prune every 100 iters in [500, 40k], opacity reset every 3k.
+  outputs: full/object/background PLYs + predicted object masks rendered
+  from the thresholded label for every static frame.
+
+Stage 1.2 (train_static_bg.py:23-173): same std+entropy loop, but the
+gradient mask is hand OR object dilated by 5 px, trained over ALL phases'
+frames at once, no label phase.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data.readers import FrameBatch, dilate_mask, stack_cameras
+from egogaussian_tpu.models.densify import (
+    add_densification_stats,
+    densify_and_prune,
+    prune_by_opacity,
+    reset_opacity,
+)
+from egogaussian_tpu.models.gaussians import (
+    GaussianModel,
+    compact,
+    ensure_capacity,
+    from_points,
+    save_ply,
+)
+from egogaussian_tpu.models.optim import adam_init, adam_update, gaussian_lr_tree
+from egogaussian_tpu.ops.losses import bce_with_logits
+from egogaussian_tpu.train.common import (
+    image_loss,
+    mask_grad,
+    model_colors,
+    opacity_entropy,
+    render_gaussians,
+    render_label_image,
+)
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "lambda_dssim", "backend"))
+def _static_step(
+    model: GaussianModel,
+    opt_state,
+    batch: FrameBatch,
+    frame_idx: jnp.ndarray,
+    grad_mask: jnp.ndarray,
+    lr_tree,
+    mode: str = "std",
+    lambda_dssim: float = 0.2,
+    backend: str = "tiled",
+):
+    """One training iteration. mode in {"std", "entropy", "label"}.
+    `grad_mask` [1,H,W]: pixels whose gradients are zeroed (hand, or
+    dilated hand|obj for the background stage)."""
+    cam, gt, _, obj_mask = batch.frame(frame_idx)
+    bg = jnp.zeros(3, model.params.xyz.dtype)
+    probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
+
+    def loss_fn(params, probe):
+        m = dataclasses.replace(model, params=params)
+        if mode == "label":
+            label_img = render_label_image(m, cam, backend=backend)
+            label_img = mask_grad(label_img, grad_mask)
+            loss = bce_with_logits(label_img, obj_mask)
+            # radii from a detached geometry render for the visibility filter
+            res = render_gaussians(
+                jax.lax.stop_gradient(m), cam, bg, backend=backend
+            )
+            return loss, (res.radii, loss)
+        res = render_gaussians(m, cam, bg, means2d_probe=probe, backend=backend)
+        img = mask_grad(res.image, grad_mask)
+        loss = image_loss(img, gt, lambda_dssim)
+        if mode == "entropy":
+            loss = loss + 0.1 * opacity_entropy(m.opacity, res.radii > 0)
+        return loss, (res.radii, loss)
+
+    grads, (radii, loss) = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        model.params, probe
+    )
+    param_grads, probe_grads = grads
+    model = add_densification_stats(model, probe_grads, radii)
+    new_params, new_opt = adam_update(model.params, param_grads, opt_state, lr_tree)
+    model = dataclasses.replace(model, params=new_params)
+    return model, new_opt, loss, radii
+
+
+_densify_jit = jax.jit(
+    densify_and_prune,
+    static_argnames=(
+        "max_grad", "min_opacity", "extent", "max_screen_size", "percent_dense",
+        "clone", "split", "curr_gen", "prune_prev_gen", "split_prev_gen",
+        "which_object",
+    ),
+)
+_reset_opacity_jit = jax.jit(reset_opacity, static_argnames=("max_opacity", "which_object"))
+_prune_opacity_jit = jax.jit(prune_by_opacity, static_argnames=("min_opacity",))
+
+
+@dataclasses.dataclass
+class StaticPhaseResult:
+    model: GaussianModel  # full model after the phase (is_object inferred)
+    obj_model: GaussianModel  # object-only
+    bg_model: GaussianModel  # background-only
+    pred_masks: Dict[str, np.ndarray]  # image_name -> [H, W] binary label
+
+
+def _split_by_is_object(model: GaussianModel):
+    alive = model.aux.alive
+    obj = dataclasses.replace(
+        model,
+        aux=dataclasses.replace(model.aux, alive=alive & (model.aux.is_object == 1)),
+    )
+    bg = dataclasses.replace(
+        model,
+        aux=dataclasses.replace(model.aux, alive=alive & (model.aux.is_object == 0)),
+    )
+    return compact(obj), compact(bg)
+
+
+def train_static(
+    cameras: Sequence,
+    points: np.ndarray,
+    colors: np.ndarray,
+    cfg: Config,
+    static_phase_frames: List[List[int]],
+    cameras_extent: float,
+    save_dir: Optional[str] = None,
+    seed: int = 0,
+    backend: str = "tiled",
+    first_phase_only: bool = False,
+) -> List[StaticPhaseResult]:
+    """Stage 1.0. `static_phase_frames`: per-phase lists of camera indices
+    (from data.readers.split_viewpoints_by_phase)."""
+    rng = np.random.RandomState(seed)
+    sp = cfg.static
+    opt_cfg = cfg.opt
+    total_iters = sp.std_train_iter + sp.entropy_reg_iter + sp.label_train_iter
+    results: List[StaticPhaseResult] = []
+
+    for phase, frame_idxs in enumerate(static_phase_frames):
+        phase_cams = [cameras[i] for i in frame_idxs]
+        batch = stack_cameras(phase_cams)
+        model = from_points(
+            points, colors, sh_degree=cfg.model.sh_degree,
+            spatial_lr_scale=cameras_extent, seed=seed,
+        )
+        opt_state = adam_init(model.params)
+        key = jax.random.PRNGKey(seed + phase)
+
+        # frame sub-stack: all frames during std+entropy; rewind subset in label
+        stack = list(range(len(phase_cams)))
+        CONSOLE.log(
+            f"[static] phase {phase}: {len(phase_cams)} frames, "
+            f"{total_iters} iters, capacity {model.capacity}"
+        )
+        for it in range(1, total_iters + 1):
+            fidx = stack[rng.randint(len(stack))]
+            if it <= sp.std_train_iter:
+                mode = "std"
+            elif it <= sp.std_train_iter + sp.entropy_reg_iter:
+                mode = "entropy"
+            else:
+                mode = "label"
+
+            if mode == "label":
+                lr_tree = gaussian_lr_tree(
+                    model.params, jnp.int32(it), opt_cfg, model.spatial_lr_scale,
+                    zero_gaussians=True,
+                )
+                lr_tree = dataclasses.replace(
+                    lr_tree, label=jnp.float32(sp.label_lr)
+                )
+            else:
+                lr_tree = gaussian_lr_tree(
+                    model.params, jnp.int32(it), opt_cfg, model.spatial_lr_scale,
+                    label_lr=0.0,
+                )
+            hand = batch.hand_masks[fidx]
+            model, opt_state, loss, radii = _static_step(
+                model, opt_state, batch, jnp.int32(fidx), hand, lr_tree,
+                mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
+            )
+
+            # densification schedule (train_static.py:125-133)
+            if it <= sp.densify_until_iter:
+                if it > sp.densify_from_iter and it % opt_cfg.densification_interval == 0:
+                    size_threshold = 20.0 if it > opt_cfg.opacity_reset_interval else None
+                    key, sub = jax.random.split(key)
+                    res = _densify_jit(
+                        model, opt_state, sub,
+                        max_grad=opt_cfg.densify_grad_threshold,
+                        min_opacity=0.005,
+                        extent=cameras_extent,
+                        max_screen_size=size_threshold,
+                        percent_dense=opt_cfg.percent_dense,
+                    )
+                    model, opt_state = res.model, res.opt_state
+                    model, opt_state, _ = ensure_capacity(model, opt_state)
+                if it % opt_cfg.opacity_reset_interval == 0:
+                    model, opt_state = _reset_opacity_jit(model, opt_state)
+
+            # entropy-phase end: prune + rewind (train_static.py:146-162)
+            if it == sp.std_train_iter + sp.entropy_reg_iter:
+                model, opt_state, n_pruned = _prune_opacity_jit(
+                    model, opt_state, min_opacity=0.5
+                )
+                CONSOLE.log(
+                    f"[static] pruned {int(n_pruned)} low-opacity; "
+                    f"alive {int(model.num_alive)}"
+                )
+                n_phases = len(static_phase_frames)
+                rw = sp.rewind_frames
+                if phase == 0:
+                    stack = stack[-rw:]
+                elif phase == n_phases - 1:
+                    stack = stack[:rw]
+                else:
+                    stack = stack[:rw] + stack[-rw:]
+
+        model = model.infer_is_object_from_label()
+        obj_model, bg_model = _split_by_is_object(model)
+
+        # predicted object masks from the thresholded label render
+        pred_masks: Dict[str, np.ndarray] = {}
+        for j, cam_obj in enumerate(phase_cams):
+            lbl = render_label_image(model, batch.camera(j), backend=backend)
+            pred_masks[cam_obj.image_name] = (np.asarray(lbl[0]) > 0.5).astype(
+                np.float32
+            )
+
+        if save_dir:
+            ply_dir = os.path.join(save_dir, "ply")
+            save_ply(model, os.path.join(ply_dir, f"static_phase{phase}.ply"))
+            save_ply(obj_model, os.path.join(ply_dir, f"static_phase{phase}_obj.ply"))
+            save_ply(bg_model, os.path.join(ply_dir, f"static_phase{phase}_bg.ply"))
+            mask_dir = os.path.join(save_dir, "obj_masks")
+            os.makedirs(mask_dir, exist_ok=True)
+            try:
+                from PIL import Image
+
+                for name, m in pred_masks.items():
+                    Image.fromarray((m * 255).astype(np.uint8)).save(
+                        os.path.join(mask_dir, f"{name}.png")
+                    )
+            except ImportError:
+                pass
+
+        results.append(
+            StaticPhaseResult(
+                model=model, obj_model=obj_model, bg_model=bg_model,
+                pred_masks=pred_masks,
+            )
+        )
+        if first_phase_only:
+            break
+    return results
+
+
+def train_background(
+    cameras: Sequence,
+    points: np.ndarray,
+    colors: np.ndarray,
+    cfg: Config,
+    train_frame_idxs: List[int],
+    cameras_extent: float,
+    save_dir: Optional[str] = None,
+    seed: int = 0,
+    backend: str = "tiled",
+    dilate_size: int = 5,
+) -> GaussianModel:
+    """Stage 1.2: background 3DGS over all phases' frames with the
+    interaction mask = dilate(hand | obj) gating gradients
+    (train_static_bg.py:23-173)."""
+    rng = np.random.RandomState(seed)
+    bp = cfg.static_bg
+    opt_cfg = cfg.opt
+    total_iters = bp.std_train_iter + bp.entropy_reg_iter
+
+    train_cams = [cameras[i] for i in train_frame_idxs]
+    batch = stack_cameras(train_cams)
+    # precompute dilated interaction masks on host (static per frame)
+    int_masks = np.stack(
+        [
+            dilate_mask(
+                np.maximum(np.asarray(c.hand_mask), np.asarray(c.obj_mask)),
+                iterations=dilate_size,
+            )
+            for c in train_cams
+        ]
+    )
+    int_masks_j = jnp.asarray(int_masks)
+
+    model = from_points(
+        points, colors, sh_degree=cfg.model.sh_degree,
+        spatial_lr_scale=cameras_extent, seed=seed,
+    )
+    opt_state = adam_init(model.params)
+    key = jax.random.PRNGKey(seed)
+    CONSOLE.log(f"[bg] {len(train_cams)} frames, {total_iters} iters")
+
+    for it in range(1, total_iters + 1):
+        fidx = rng.randint(len(train_cams))
+        mode = "std" if it <= bp.std_train_iter else "entropy"
+        lr_tree = gaussian_lr_tree(
+            model.params, jnp.int32(it), opt_cfg, model.spatial_lr_scale,
+            label_lr=0.0,
+        )
+        model, opt_state, loss, radii = _static_step(
+            model, opt_state, batch, jnp.int32(fidx), int_masks_j[fidx], lr_tree,
+            mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
+        )
+        if it <= bp.densify_until_iter:
+            if it > bp.densify_from_iter and it % opt_cfg.densification_interval == 0:
+                size_threshold = 20.0 if it > opt_cfg.opacity_reset_interval else None
+                key, sub = jax.random.split(key)
+                res = _densify_jit(
+                    model, opt_state, sub,
+                    max_grad=opt_cfg.densify_grad_threshold,
+                    min_opacity=0.005,
+                    extent=cameras_extent,
+                    max_screen_size=size_threshold,
+                    percent_dense=opt_cfg.percent_dense,
+                )
+                model, opt_state = res.model, res.opt_state
+                model, opt_state, _ = ensure_capacity(model, opt_state)
+            if it % opt_cfg.opacity_reset_interval == 0:
+                model, opt_state = _reset_opacity_jit(model, opt_state)
+        if it == total_iters:
+            model, opt_state, n_pruned = _prune_opacity_jit(
+                model, opt_state, min_opacity=0.5
+            )
+            CONSOLE.log(f"[bg] final prune: {int(n_pruned)} removed")
+
+    if save_dir:
+        save_ply(model, os.path.join(save_dir, "static_bg.ply"))
+    return model

@@ -1,0 +1,21 @@
+"""Console logging (reference utils/console.py uses rich; rich is optional
+here — plain print fallback keeps the framework dependency-light)."""
+from __future__ import annotations
+
+try:
+    from rich.console import Console
+
+    CONSOLE = Console()
+except ImportError:  # pragma: no cover
+    import sys
+    import time
+
+    class _PlainConsole:
+        def log(self, *args, **kwargs):
+            ts = time.strftime("%H:%M:%S")
+            print(f"[{ts}]", *args, file=sys.stderr)
+
+        def print(self, *args, **kwargs):
+            print(*args)
+
+    CONSOLE = _PlainConsole()

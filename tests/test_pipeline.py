@@ -1,0 +1,75 @@
+"""End-to-end pipeline smoke test: all 6 stages on the synthetic 2-phase
+video at tiny iteration counts (SURVEY.md §4), plus resume."""
+import numpy as np
+import pytest
+
+from egogaussian_tpu.data import make_synthetic_video
+from egogaussian_tpu.data.readers import SceneData, compute_nerfpp_norm
+from egogaussian_tpu.pipeline import run_pipeline
+from tests.test_train import tiny_config
+
+
+@pytest.fixture(scope="module")
+def scene_and_phases():
+    vid = make_synthetic_video(
+        width=48, height=36, n_bg=120, n_obj=30,
+        frames_static=3, frames_dynamic=2,
+    )
+    scene = SceneData(
+        cameras=vid.cameras,
+        points=vid.points,
+        colors=vid.colors,
+        nerf_norm=compute_nerfpp_norm(vid.cameras),
+        image_names=vid.image_names,
+    )
+    return vid, scene
+
+
+def test_full_pipeline(scene_and_phases, tmp_path_factory):
+    vid, scene = scene_and_phases
+    save_dir = str(tmp_path_factory.mktemp("pipeline"))
+    cfg = tiny_config()
+    names = vid.image_names
+    result = run_pipeline(
+        scene, cfg, save_dir,
+        training_frames=names[:-1],
+        dynamic_eval_frames=[names[3]],
+        static_eval_frames=[names[-1]],
+        static_phases=vid.static_phases,
+        dynamic_phases=vid.dynamic_phases,
+    )
+    assert int(result.final_model.num_alive) > 0
+    # all stage artifacts on disk
+    import os
+
+    for p in (
+        "static/ply/static_phase0_obj.ply",
+        "background/static_bg.ply",
+        "coarse/obj_pose_sequence.npz",
+        "coarse/ply/gaussians_final.ply",
+        "fine_obj/from-coarse/gaussians_fine.ply",
+        "interpolate_pose_coarse/obj_pose_sequence.npz",
+        "fine_all/gaussians_all.ply",
+        "evaluation/results.txt",
+    ):
+        assert os.path.exists(os.path.join(save_dir, p)), p
+    # metrics exist and are finite
+    assert "dynamic_eval" in result.metrics
+    assert np.isfinite(result.metrics["dynamic_eval"]["psnr"])
+    # every dynamic frame got a pose
+    solved = np.asarray(result.pose_seq.solved)
+    for ph in vid.dynamic_phases:
+        for f in range(ph[0], ph[1] + 1):
+            assert solved[f], f
+
+    # resume path: re-running with resume=True loads artifacts (fast)
+    result2 = run_pipeline(
+        scene, cfg, save_dir,
+        training_frames=names[:-1],
+        dynamic_eval_frames=[names[3]],
+        static_eval_frames=[names[-1]],
+        static_phases=vid.static_phases,
+        dynamic_phases=vid.dynamic_phases,
+        resume=True,
+    )
+    assert int(result2.final_model.num_alive) > 0

@@ -1,0 +1,259 @@
+"""Trainer tests: jitted step functions converge, the stage drivers run
+end-to-end on the synthetic 2-phase video (SURVEY.md §4 smoke test), and the
+coarse pose step recovers a known rigid motion."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data import make_synthetic_video, stack_cameras
+from egogaussian_tpu.data.readers import split_viewpoints_by_phase
+from egogaussian_tpu.models import adam_init, from_points
+from egogaussian_tpu.models.gaussians import GaussianAux, GaussianModel
+from egogaussian_tpu.models.optim import gaussian_lr_tree
+from egogaussian_tpu.models.pose import ObjectPose, identity_pose, pose_to_se3
+from egogaussian_tpu.ops.covariance import covariance_from_scaling_rotation
+from egogaussian_tpu.train.static import _static_step, train_static, train_background
+from egogaussian_tpu.train.coarse_pose import pose_step
+from egogaussian_tpu.train.fine_all import fine_tune_all
+
+
+def tiny_config() -> Config:
+    cfg = Config()
+    cfg.static = dataclasses.replace(
+        cfg.static,
+        std_train_iter=60, entropy_reg_iter=15, label_train_iter=25,
+        densify_from_iter=8, densify_until_iter=20, rewind_frames=3,
+    )
+    cfg.static_bg = dataclasses.replace(
+        cfg.static_bg,
+        std_train_iter=60, entropy_reg_iter=15,
+        densify_from_iter=8, densify_until_iter=20,
+    )
+    cfg.opt = dataclasses.replace(
+        cfg.opt, densification_interval=10, opacity_reset_interval=1000,
+    )
+    cfg.coarse = dataclasses.replace(
+        cfg.coarse,
+        warm_up_iter=30, total_num_iter=40,
+        densify_from_iter=32, densify_until_iter=38,
+        densification_interval=4, opacity_reset_interval=1000,
+    )
+    cfg.fine = dataclasses.replace(
+        cfg.fine,
+        total_num_iter=30, densify_from_iter=5, densify_until_iter=20,
+        densification_interval=10, opacity_reset_interval=1000,
+    )
+    cfg.fine_all = dataclasses.replace(
+        cfg.fine_all,
+        total_num_iter=25, densify_from_iter=5, densify_until_iter=10,
+        opacity_reset_interval=7,
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def video():
+    return make_synthetic_video(
+        width=48, height=36, n_bg=150, n_obj=40,
+        frames_static=4, frames_dynamic=3,
+    )
+
+
+def gt_object_model(video, capacity=256):
+    """Model holding the GT object Gaussians (is_object=1) at rest pose."""
+    pts = video.gt_means[video.gt_is_object]
+    cols = video.colors[video.gt_is_object]
+    m = from_points(pts, cols, capacity=capacity)
+    n = len(pts)
+    # match the synthetic generator's scales/opacity
+    params = dataclasses.replace(
+        m.params,
+        log_scales=m.params.log_scales.at[:n].set(np.log(0.09)),
+        opacity_logit=m.params.opacity_logit.at[:n].set(
+            float(np.log(0.95 / 0.05))
+        ),
+    )
+    aux = dataclasses.replace(
+        m.aux, is_object=jnp.where(jnp.arange(capacity) < n, 1, 0)
+    )
+    return dataclasses.replace(m, params=params, aux=aux)
+
+
+class TestStaticStep:
+    def test_loss_decreases(self, video):
+        batch = stack_cameras(video.cameras[:4])
+        model = from_points(video.points, video.colors, capacity=512)
+        opt_state = adam_init(model.params)
+        cfg = tiny_config()
+        losses = []
+        for it in range(1, 16):
+            lr_tree = gaussian_lr_tree(
+                model.params, jnp.int32(it), cfg.opt, 1.0, label_lr=0.0
+            )
+            fidx = (it - 1) % 4
+            model, opt_state, loss, radii = _static_step(
+                model, opt_state, batch, jnp.int32(fidx),
+                batch.hand_masks[fidx], lr_tree, mode="std",
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_label_mode_moves_only_label(self, video):
+        batch = stack_cameras(video.cameras[:2])
+        model = from_points(video.points, video.colors, capacity=512)
+        opt_state = adam_init(model.params)
+        cfg = tiny_config()
+        lr_tree = gaussian_lr_tree(
+            model.params, jnp.int32(1), cfg.opt, 1.0, zero_gaussians=True
+        )
+        lr_tree = dataclasses.replace(lr_tree, label=jnp.float32(0.01))
+        m2, _, loss, _ = _static_step(
+            model, opt_state, batch, jnp.int32(0), batch.hand_masks[0],
+            lr_tree, mode="label",
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.params.xyz), np.asarray(model.params.xyz)
+        )
+        assert not np.allclose(
+            np.asarray(m2.params.label), np.asarray(model.params.label)
+        )
+
+
+class TestStaticTrainer:
+    def test_runs_end_to_end(self, video, tmp_path):
+        cfg = tiny_config()
+        static_groups = split_viewpoints_by_phase(video.cameras, video.static_phases)
+        results = train_static(
+            video.cameras, video.points, video.colors, cfg,
+            static_groups, cameras_extent=4.0, save_dir=str(tmp_path),
+            first_phase_only=True,
+        )
+        assert len(results) == 1
+        r = results[0]
+        assert int(r.model.num_alive) > 0
+        assert len(r.pred_masks) == len(static_groups[0])
+        # PLYs written
+        assert (tmp_path / "ply" / "static_phase0.ply").exists()
+        assert (tmp_path / "ply" / "static_phase0_obj.ply").exists()
+
+    def test_background_runs(self, video, tmp_path):
+        cfg = tiny_config()
+        idxs = list(range(len(video.cameras)))
+        model = train_background(
+            video.cameras, video.points, video.colors, cfg, idxs,
+            cameras_extent=4.0, save_dir=str(tmp_path),
+        )
+        assert int(model.num_alive) > 0
+        assert (tmp_path / "static_bg.ply").exists()
+
+
+class TestPoseStep:
+    def test_recovers_known_motion(self, video):
+        """Self-consistency: render the GT object model at a known rigid pose
+        as the target, then recover that pose from identity with pose_step.
+        (Isolates the pose-optimization machinery from generator details.)"""
+        import dataclasses as dc
+        from egogaussian_tpu.ops.se3 import make_se3
+
+        model = gt_object_model(video)
+        f_cur = video.dynamic_phases[0][0]
+        cam = video.cameras[f_cur]
+
+        # known pose: clearly visible motion at this resolution
+        ang = 0.25
+        R_gt = np.array(
+            [[np.cos(ang), -np.sin(ang), 0],
+             [np.sin(ang), np.cos(ang), 0],
+             [0, 0, 1.0]], np.float32,
+        )
+        t_gt = np.array([0.35, -0.2, 0.1], np.float32)
+        T_gt = np.asarray(make_se3(jnp.asarray(R_gt), jnp.asarray(t_gt)))
+
+        from egogaussian_tpu.train.common import render_gaussians
+
+        target = render_gaussians(
+            model, cam, jnp.zeros(3), pose_T=jnp.asarray(T_gt),
+            extra_rot=jnp.asarray(R_gt),
+        )
+        # target becomes the frame's gt image; obj mask = target alpha
+        cam_t = dc.replace(
+            cam,
+            gt_image=target.image,
+            obj_mask=(target.alpha > 0.5).astype(jnp.float32),
+            hand_mask=jnp.zeros_like(cam.hand_mask),
+        )
+        batch = stack_cameras([cam_t])
+
+        pose = identity_pose()
+        pose_opt = adam_init(pose)
+        opt_state = adam_init(model.params)
+        lr_zero = jax.tree_util.tree_map(lambda x: jnp.float32(0.0), model.params)
+
+        def t_err(p):
+            return float(jnp.linalg.norm(pose_to_se3(p)[:3, 3] - jnp.asarray(t_gt)))
+
+        err0 = t_err(pose)
+        loss0 = None
+        m = model
+        for it in range(300):
+            m, opt_state, pose, pose_opt, loss, _ = pose_step(
+                m, opt_state, pose, pose_opt, batch, jnp.int32(0),
+                jnp.eye(4), jnp.eye(3), lr_zero,
+                jnp.float32(1e-2), jnp.float32(1e-2), jnp.asarray(False),
+                train_pose=True,
+            )
+            if loss0 is None:
+                loss0 = float(loss)
+        err1 = t_err(pose)
+        # NOTE: the loss is the reference's formulation (gt*obj_mask vs the
+        # UNmasked render + binarized-alpha L2), whose optimum is biased off
+        # the true pose at soft object boundaries — so we assert substantial
+        # convergence, not exact recovery (loss at the GT pose is ~0.017
+        # here, not 0).
+        assert err1 < 0.55 * err0, (err0, err1)
+        assert float(loss) < 0.2 * loss0, (loss0, float(loss))
+        R_err0 = float(np.linalg.norm(np.eye(3) - R_gt))
+        R_err1 = float(jnp.linalg.norm(pose.rotation - jnp.asarray(R_gt)))
+        assert R_err1 < 0.2 * R_err0, (R_err0, R_err1)
+
+    def test_fixed_pose_leaves_pose_unchanged(self, video):
+        model = gt_object_model(video)
+        batch = stack_cameras(video.cameras)
+        pose = identity_pose()
+        pose_opt = adam_init(pose)
+        opt_state = adam_init(model.params)
+        lr_zero = jax.tree_util.tree_map(lambda x: jnp.float32(0.0), model.params)
+        m, _, pose2, _, loss, _ = pose_step(
+            model, opt_state, pose, pose_opt, batch, jnp.int32(0),
+            jnp.eye(4), jnp.eye(3), lr_zero,
+            jnp.float32(1e-3), jnp.float32(1e-3), jnp.asarray(False),
+            train_pose=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pose2.translation), np.asarray(pose.translation)
+        )
+
+
+class TestFineAll:
+    def test_runs(self, video, tmp_path):
+        from egogaussian_tpu.models.pose import empty_pose_sequence
+
+        cfg = tiny_config()
+        obj = gt_object_model(video, capacity=128)
+        bg_pts = video.gt_means[~video.gt_is_object]
+        bg_cols = video.colors[~video.gt_is_object]
+        bg = from_points(bg_pts, bg_cols, capacity=256)
+        static_groups = split_viewpoints_by_phase(video.cameras, video.static_phases)
+        dynamic_groups = split_viewpoints_by_phase(video.cameras, video.dynamic_phases)
+        seq = empty_pose_sequence(len(video.cameras))
+        model = fine_tune_all(
+            video.cameras, obj, bg, seq, cfg,
+            static_groups, dynamic_groups, save_dir=str(tmp_path),
+        )
+        assert int(model.num_alive) > 0
+        assert (tmp_path / "gaussians_all.ply").exists()
