@@ -170,7 +170,7 @@ class RenderParams:
     """TPU-build additions: rasterizer backend + capacity knobs (no reference
     twin — the CUDA rasterizer had no exposed tuning)."""
 
-    backend: str = "tiled"  # oracle | tiled
+    backend: str = "auto"  # auto | oracle | tiled | pallas
     tile_size: int = 16
     max_per_tile: int = 1024
     pairs_per_gaussian: int = 16

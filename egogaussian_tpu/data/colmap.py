@@ -170,8 +170,14 @@ def read_images_text(
 
 def read_points3d_binary(path: str):
     """points3D.bin -> (xyz [N,3], rgb [N,3] in [0,1], errors [N]).
-    Vectorized: one frombuffer pass instead of the reference's per-point
-    python loop (colmap_loader.py:125-154)."""
+    Uses the native C++ loader when built (utils/native_io.py); the python
+    fallback replaces the reference's per-point struct loop
+    (colmap_loader.py:125-154)."""
+    from egogaussian_tpu.utils.native_io import read_points3d_bin_native
+
+    native = read_points3d_bin_native(path)
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         (num,) = _read_next_bytes(f, 8, "Q")
         xyzs = np.empty((num, 3), np.float64)

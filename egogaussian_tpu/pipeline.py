@@ -78,7 +78,7 @@ def run_pipeline(
     static_phases: Optional[List] = None,
     dynamic_phases: Optional[List] = None,
     seed: int = 0,
-    backend: str = "tiled",
+    backend: str = "auto",
     resume: bool = False,
     lpips_fn=None,
     fine_variant: str = "from-coarse",

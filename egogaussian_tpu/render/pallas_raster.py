@@ -38,14 +38,44 @@ from jax.experimental.pallas import tpu as pltpu
 from egogaussian_tpu.render.oracle import ALPHA_EPS, ALPHA_MAX
 
 
+def _cumsum_rows(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 of [M, P] inside a Pallas kernel.
+
+    Mosaic has no cumsum lowering; a chunked lower-triangular matmul runs the
+    prefix sum on the MXU instead: incl_chunk = tril(1) @ chunk + carry.
+    """
+    m = x.shape[0]
+    chunk = min(chunk, m)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    L = (rows >= cols).astype(x.dtype)
+    outs = []
+    carry = jnp.zeros((1, x.shape[1]), x.dtype)
+    for i in range(0, m, chunk):
+        blk = x[i : i + chunk]
+        incl = (
+            jax.lax.dot_general(
+                L, blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + carry
+        )
+        outs.append(incl)
+        carry = incl[-1:, :]
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def _pixel_coords(tile_id, ts: int, n_tx: int, dtype):
     """Pixel-center coordinates of a tile's P = ts*ts pixels (row-major)."""
     tx = (tile_id % n_tx).astype(dtype)
     ty = (tile_id // n_tx).astype(dtype)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 0).astype(dtype)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1).astype(dtype)
-    px = (tx * ts + cols + 0.5).reshape(1, ts * ts)
-    py = (ty * ts + rows + 0.5).reshape(1, ts * ts)
+    # build directly in (1, P) layout — Mosaic cannot shape-cast (ts, ts)
+    # vectors into (1, ts*ts)
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ts), 1)
+    cols = (i % ts).astype(dtype)
+    rows = (i // ts).astype(dtype)
+    px = tx * ts + cols + 0.5
+    py = ty * ts + rows + 0.5
     return px, py
 
 
@@ -72,7 +102,7 @@ def _fwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     alpha, _ = _alphas(mu_ref, con_ref, op_ref, px, py)
 
     log1m = jnp.log1p(-alpha)  # [M, P]
-    incl = jnp.cumsum(log1m, axis=0)
+    incl = _cumsum_rows(log1m)
     excl = incl - log1m
     w = alpha * jnp.exp(excl)  # [M, P]
 
@@ -99,7 +129,7 @@ def _bwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     alpha, (raw, power, dx, dy) = _alphas(mu_ref, con_ref, op_ref, px, py)
 
     log1m = jnp.log1p(-alpha)
-    incl = jnp.cumsum(log1m, axis=0)
+    incl = _cumsum_rows(log1m)
     excl = incl - log1m
     T_excl = jnp.exp(excl)
     w = alpha * T_excl
@@ -119,7 +149,7 @@ def _bwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
 
     # suffix S_i = sum_{j>i} w_j dLdw_j + T_final * (g_img . bg)
     wd = w * dLdw
-    incl_wd = jnp.cumsum(wd, axis=0)
+    incl_wd = _cumsum_rows(wd)
     total_wd = incl_wd[-1:, :]
     g_tfinal = jnp.sum(gimg * bg[None, :], axis=-1)[None, :]  # [1, P]
     S = (total_wd - incl_wd) + t_final * g_tfinal

@@ -59,7 +59,13 @@ from egogaussian_tpu.models.pose import (
     save_pose_sequence,
 )
 from egogaussian_tpu.ops.losses import l1_loss, l2_loss
-from egogaussian_tpu.train.common import image_loss, mask_grad, render_gaussians
+from egogaussian_tpu.train.common import (
+    auto_tile_config,
+    image_loss,
+    pick_backend,
+    mask_grad,
+    render_gaussians,
+)
 from egogaussian_tpu.train.static import _densify_jit, _reset_opacity_jit
 from egogaussian_tpu.utils.console import CONSOLE
 
@@ -68,7 +74,7 @@ from egogaussian_tpu.utils.console import CONSOLE
     jax.jit,
     static_argnames=(
         "train_pose", "lambda_image", "lambda_dssim", "lambda_l1_alpha",
-        "lambda_l2_alpha", "backend",
+        "lambda_l2_alpha", "backend", "tile_config",
     ),
 )
 def pose_step(
@@ -90,6 +96,7 @@ def pose_step(
     lambda_l1_alpha: float = 0.0,
     lambda_l2_alpha: float = 0.5,
     backend: str = "tiled",
+    tile_config=None,
 ):
     """One pose-optimization iteration (shared by stages 2 and 3)."""
     cam, gt, hand, obj_mask = batch.frame(cam_idx)
@@ -106,7 +113,7 @@ def pose_step(
             R_extra = fixed_R
         res = render_gaussians(
             m, cam, bg, pose_T=T, extra_rot=R_extra, means2d_probe=probe,
-            backend=backend,
+            backend=backend, tile_config=tile_config,
         )
         img = mask_grad(res.image, hand)
         alpha = mask_grad(res.alpha, hand)
@@ -198,7 +205,7 @@ def estimate_coarse_obj_pose(
     cameras_extent: float,
     save_dir: Optional[str] = None,
     seed: int = 0,
-    backend: str = "tiled",
+    backend: str = "auto",
 ) -> Tuple[PoseSequence, GaussianModel, Dict[int, str]]:
     """Stage 2. Returns (pose_sequence over all cameras, refined object
     model, {camera_index: image_name} for solved frames)."""
@@ -206,6 +213,8 @@ def estimate_coarse_obj_pose(
     cp = cfg.coarse
     model = obj_model
     batch = stack_cameras(list(cameras))
+    tile_cfg = auto_tile_config(model, batch.camera(0))
+    backend = pick_backend(tile_cfg, backend)
     F = batch.num_frames
     pose_seq = empty_pose_sequence(F)
     solved_names: Dict[int, str] = {}
@@ -289,6 +298,7 @@ def estimate_coarse_obj_pose(
                     lambda_l1_alpha=cp.lambda_Ll1_alpha,
                     lambda_l2_alpha=cp.lambda_Ll2_alpha,
                     backend=backend,
+                    tile_config=tile_cfg,
                 )
                 if train_p:
                     pose_seq = pose_seq.update_frame(f_cur, pose)

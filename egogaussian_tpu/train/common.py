@@ -112,8 +112,38 @@ def render_gaussians(
     )
 
 
+def pick_backend(tile_config, backend: str = "auto") -> str:
+    """Resolve backend="auto": the fused Pallas kernels win on fwd+bwd (no
+    [M, P] HBM intermediates) but their backward needs ~12 (M, P) f32 VMEM
+    buffers — only safe for max_per_tile <= 512 on a 16 MB-VMEM core."""
+    if backend != "auto":
+        return backend
+    if tile_config is not None and tile_config.max_per_tile <= 512:
+        return "pallas"
+    return "tiled"
+
+
+def auto_tile_config(model: GaussianModel, camera: Camera, headroom: float = 3.0):
+    """Host-side: estimate binning capacities for the current scene/camera
+    (render/tiled.py estimate_tile_config). Call at stage/phase start;
+    generous headroom covers densification growth within the phase."""
+    from egogaussian_tpu.render.project import project_gaussians
+    from egogaussian_tpu.render.tiled import estimate_tile_config
+
+    proj = project_gaussians(
+        model.params.xyz, model.covariance(), camera.viewmat,
+        camera.fx, camera.fy, camera.cx, camera.cy,
+        camera.width, camera.height, valid_mask=model.aux.alive,
+    )
+    return estimate_tile_config(
+        proj.means2d, proj.radii, proj.depths, camera.width, camera.height,
+        headroom=headroom,
+    )
+
+
 def render_label_image(
-    model: GaussianModel, camera: Camera, backend: str = "tiled"
+    model: GaussianModel, camera: Camera, backend: str = "tiled",
+    tile_config=None,
 ) -> jnp.ndarray:
     """[1, H, W] label rendering with detached geometry
     (reference get_render_label, render_helper.py:38-64)."""
@@ -127,5 +157,6 @@ def render_label_image(
         colors_precomp=model.params.label,
         valid_mask=model.aux.alive,
         backend=backend,
+        tile_config=tile_config,
     )
     return res.image

@@ -26,12 +26,20 @@ from egogaussian_tpu.data.readers import FrameBatch, stack_cameras
 from egogaussian_tpu.models.gaussians import GaussianModel, combine_models, save_ply
 from egogaussian_tpu.models.optim import adam_init, adam_update, expon_lr
 from egogaussian_tpu.models.pose import PoseSequence
-from egogaussian_tpu.train.common import image_loss, mask_grad, render_gaussians
+from egogaussian_tpu.train.common import (
+    auto_tile_config,
+    image_loss,
+    pick_backend,
+    mask_grad,
+    render_gaussians,
+)
 from egogaussian_tpu.train.static import _reset_opacity_jit
 from egogaussian_tpu.utils.console import CONSOLE
 
 
-@functools.partial(jax.jit, static_argnames=("lambda_dssim", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("lambda_dssim", "backend", "tile_config")
+)
 def _fine_all_step(
     model: GaussianModel,
     opt_state,
@@ -42,6 +50,7 @@ def _fine_all_step(
     lr_tree,
     lambda_dssim: float = 0.2,
     backend: str = "tiled",
+    tile_config=None,
 ):
     cam, gt, hand, _ = batch.frame(cam_idx)
     bg = jnp.zeros(3, model.params.xyz.dtype)
@@ -49,7 +58,8 @@ def _fine_all_step(
     def loss_fn(params):
         m = dataclasses.replace(model, params=params)
         res = render_gaussians(
-            m, cam, bg, pose_T=fixed_T, extra_rot=fixed_R, backend=backend
+            m, cam, bg, pose_T=fixed_T, extra_rot=fixed_R, backend=backend,
+            tile_config=tile_config,
         )
         img = mask_grad(res.image, hand)
         return image_loss(img, gt, lambda_dssim)
@@ -98,7 +108,7 @@ def fine_tune_all(
     dynamic_phase_frames: List[List[int]],
     save_dir: Optional[str] = None,
     seed: int = 0,
-    backend: str = "tiled",
+    backend: str = "auto",
 ) -> GaussianModel:
     rng = np.random.RandomState(seed)
     ap = cfg.fine_all
@@ -113,6 +123,8 @@ def fine_tune_all(
     weights = weights / weights.sum()
 
     opt_state = adam_init(model.params)
+    tile_cfg = auto_tile_config(model, batch.camera(0))
+    backend = pick_backend(tile_cfg, backend)
     accum_T = np.asarray(pose_seq.accum_T())
     accum_R = np.asarray(pose_seq.accum_R())
     CONSOLE.log(
@@ -130,6 +142,7 @@ def fine_tune_all(
             model, opt_state, batch, jnp.int32(cam_idx),
             jnp.asarray(accum_T[cam_idx]), jnp.asarray(accum_R[cam_idx]),
             lr_tree, lambda_dssim=ap.lambda_dssim, backend=backend,
+            tile_config=tile_cfg,
         )
         # the reference's stray opacity clamp (fine_all.py:121-124)
         if ap.densify_from_iter < it < ap.densify_until_iter:

@@ -80,7 +80,7 @@ def fine_tune_obj(
     cameras_extent: float,
     save_dir: Optional[str] = None,
     seed: int = 0,
-    backend: str = "tiled",
+    backend: str = "auto",
 ) -> Tuple[PoseSequence, GaussianModel]:
     """Stage 3 for ONE object PLY variant. The reference driver calls this
     twice (from-static and from-coarse, fine_obj.py:49-61) and stage 5 picks
@@ -105,6 +105,9 @@ def fine_tune_obj(
     )
 
     opt_state = adam_init(model.params)
+    from egogaussian_tpu.train.common import auto_tile_config, pick_backend
+    tile_cfg = auto_tile_config(model, batch.camera(0))
+    backend = pick_backend(tile_cfg, backend)
     pose_opt = adam_init(ObjectPose(jnp.zeros(3), jnp.eye(3)[:, :2]))
     key = jax.random.PRNGKey(seed)
 
@@ -154,6 +157,7 @@ def fine_tune_obj(
             lambda_l1_alpha=fp.lambda_Ll1_alpha,
             lambda_l2_alpha=fp.lambda_Ll2_alpha,
             backend=backend,
+            tile_config=tile_cfg,
         )
 
         if train_p and plr_t > 0:

@@ -50,7 +50,9 @@ from egogaussian_tpu.models.gaussians import (
 from egogaussian_tpu.models.optim import adam_init, adam_update, gaussian_lr_tree
 from egogaussian_tpu.ops.losses import bce_with_logits
 from egogaussian_tpu.train.common import (
+    auto_tile_config,
     image_loss,
+    pick_backend,
     mask_grad,
     model_colors,
     opacity_entropy,
@@ -60,7 +62,9 @@ from egogaussian_tpu.train.common import (
 from egogaussian_tpu.utils.console import CONSOLE
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "lambda_dssim", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("mode", "lambda_dssim", "backend", "tile_config")
+)
 def _static_step(
     model: GaussianModel,
     opt_state,
@@ -71,6 +75,7 @@ def _static_step(
     mode: str = "std",
     lambda_dssim: float = 0.2,
     backend: str = "tiled",
+    tile_config=None,
 ):
     """One training iteration. mode in {"std", "entropy", "label"}.
     `grad_mask` [1,H,W]: pixels whose gradients are zeroed (hand, or
@@ -82,15 +87,18 @@ def _static_step(
     def loss_fn(params, probe):
         m = dataclasses.replace(model, params=params)
         if mode == "label":
-            label_img = render_label_image(m, cam, backend=backend)
+            label_img = render_label_image(m, cam, backend=backend,
+                                           tile_config=tile_config)
             label_img = mask_grad(label_img, grad_mask)
             loss = bce_with_logits(label_img, obj_mask)
             # radii from a detached geometry render for the visibility filter
             res = render_gaussians(
-                jax.lax.stop_gradient(m), cam, bg, backend=backend
+                jax.lax.stop_gradient(m), cam, bg, backend=backend,
+                tile_config=tile_config,
             )
             return loss, (res.radii, loss)
-        res = render_gaussians(m, cam, bg, means2d_probe=probe, backend=backend)
+        res = render_gaussians(m, cam, bg, means2d_probe=probe,
+                               backend=backend, tile_config=tile_config)
         img = mask_grad(res.image, grad_mask)
         loss = image_loss(img, gt, lambda_dssim)
         if mode == "entropy":
@@ -149,7 +157,7 @@ def train_static(
     cameras_extent: float,
     save_dir: Optional[str] = None,
     seed: int = 0,
-    backend: str = "tiled",
+    backend: str = "auto",
     first_phase_only: bool = False,
 ) -> List[StaticPhaseResult]:
     """Stage 1.0. `static_phase_frames`: per-phase lists of camera indices
@@ -168,6 +176,8 @@ def train_static(
             spatial_lr_scale=cameras_extent, seed=seed,
         )
         opt_state = adam_init(model.params)
+        tile_cfg = auto_tile_config(model, batch.camera(0))
+        backend = pick_backend(tile_cfg, backend)
         key = jax.random.PRNGKey(seed + phase)
 
         # frame sub-stack: all frames during std+entropy; rewind subset in label
@@ -202,6 +212,7 @@ def train_static(
             model, opt_state, loss, radii = _static_step(
                 model, opt_state, batch, jnp.int32(fidx), hand, lr_tree,
                 mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
+                tile_config=tile_cfg,
             )
 
             # densification schedule (train_static.py:125-133)
@@ -246,7 +257,8 @@ def train_static(
         # predicted object masks from the thresholded label render
         pred_masks: Dict[str, np.ndarray] = {}
         for j, cam_obj in enumerate(phase_cams):
-            lbl = render_label_image(model, batch.camera(j), backend=backend)
+            lbl = render_label_image(model, batch.camera(j), backend=backend,
+                                     tile_config=tile_cfg)
             pred_masks[cam_obj.image_name] = (np.asarray(lbl[0]) > 0.5).astype(
                 np.float32
             )
@@ -288,7 +300,7 @@ def train_background(
     cameras_extent: float,
     save_dir: Optional[str] = None,
     seed: int = 0,
-    backend: str = "tiled",
+    backend: str = "auto",
     dilate_size: int = 5,
 ) -> GaussianModel:
     """Stage 1.2: background 3DGS over all phases' frames with the
@@ -318,6 +330,8 @@ def train_background(
         spatial_lr_scale=cameras_extent, seed=seed,
     )
     opt_state = adam_init(model.params)
+    tile_cfg = auto_tile_config(model, batch.camera(0))
+    backend = pick_backend(tile_cfg, backend)
     key = jax.random.PRNGKey(seed)
     CONSOLE.log(f"[bg] {len(train_cams)} frames, {total_iters} iters")
 
@@ -331,6 +345,7 @@ def train_background(
         model, opt_state, loss, radii = _static_step(
             model, opt_state, batch, jnp.int32(fidx), int_masks_j[fidx], lr_tree,
             mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
+            tile_config=tile_cfg,
         )
         if it <= bp.densify_until_iter:
             if it > bp.densify_from_iter and it % opt_cfg.densification_interval == 0:

@@ -42,6 +42,11 @@ def write_ply(
 ) -> None:
     """Write a vertex-only PLY. columns: [N, len(names)] float32 (cast per
     column is uniform f4, matching the reference's save schema)."""
+    if binary:
+        from egogaussian_tpu.utils.native_io import write_ply_native
+
+        if write_ply_native(path, names, columns):
+            return
     n = columns.shape[0]
     header = ["ply"]
     header.append(
@@ -64,6 +69,11 @@ def read_ply(path: str) -> Tuple[Dict[str, np.ndarray], int]:
     """Read the first (vertex) element of a PLY file.
     Returns ({property_name: [N] array}, N). Handles binary_little_endian and
     ascii; list properties are not supported (not used by 3DGS/COLMAP plys)."""
+    from egogaussian_tpu.utils.native_io import read_ply_native
+
+    native = read_ply_native(path)
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         # ---- header ----
         line = f.readline().strip()
