@@ -296,6 +296,45 @@ def combine_models(a: GaussianModel, b: GaussianModel) -> GaussianModel:
     return dataclasses.replace(a, params=params, aux=aux)
 
 
+_POINT_COLORS = {
+    "red": (1.0, 0.05, 0.05),
+    "blue": (0.05, 0.05, 1.0),
+    "green": (0.05, 0.8, 0.1),
+}
+
+
+def make_it_a_point(
+    model: GaussianModel, color: str = "red", scale: float = 0.02
+) -> GaussianModel:
+    """Collapse the model to a single opaque colored blob at its centroid —
+    used by trajectory visualization (reference make_it_a_point,
+    gaussian_model.py:1091-1114)."""
+    from egogaussian_tpu.ops.sh import rgb_to_sh
+
+    alive = model.aux.alive
+    w = alive.astype(jnp.float32)[:, None]
+    centroid = jnp.sum(model.params.xyz * w, axis=0) / jnp.maximum(
+        jnp.sum(w), 1.0
+    )
+    capacity = 128
+    params = _empty_params(capacity, model.sh_degree)
+    aux = _empty_aux(capacity)
+    rgb = jnp.asarray(_POINT_COLORS.get(color, _POINT_COLORS["red"]))
+    params = dataclasses.replace(
+        params,
+        xyz=params.xyz.at[0].set(centroid),
+        features_dc=params.features_dc.at[0, 0].set(rgb_to_sh(rgb)),
+        log_scales=params.log_scales.at[0].set(jnp.log(scale)),
+        opacity_logit=params.opacity_logit.at[0].set(8.0),  # ~1.0
+    )
+    aux = dataclasses.replace(
+        aux,
+        alive=aux.alive.at[0].set(True),
+        is_object=aux.is_object.at[0].set(1),
+    )
+    return dataclasses.replace(model, params=params, aux=aux)
+
+
 # ---------------------------------------------------------------------------
 # PLY IO — byte-compatible with the reference schema
 # ---------------------------------------------------------------------------
