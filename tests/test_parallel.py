@@ -1,0 +1,119 @@
+"""Sharding tests on the virtual 8-device CPU mesh: frame-data-parallel and
+multi-scene training steps (SURVEY.md §2.3 — the TPU build's replacement for
+the reference's nonexistent distributed layer)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data import make_synthetic_video, stack_cameras
+from egogaussian_tpu.models import adam_init, from_points
+from egogaussian_tpu.models.optim import gaussian_lr_tree
+from egogaussian_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from egogaussian_tpu.parallel.data_parallel import data_parallel_train_step
+from egogaussian_tpu.parallel.multi_scene import (
+    make_multi_scene_step,
+    stack_scenes,
+    unstack_scenes,
+)
+
+
+def scene_fixture(seed=0, n=60, frames=8):
+    vid = make_synthetic_video(width=32, height=24, n_bg=40, n_obj=12,
+                               frames_static=frames // 2,
+                               frames_dynamic=frames // 4, seed=seed)
+    total = frames // 2 * 2 + frames // 4
+    batch = stack_cameras(vid.cameras[:frames])
+    rng = np.random.RandomState(seed)
+    model = from_points(rng.randn(n, 3).astype(np.float32),
+                        rng.rand(n, 3).astype(np.float32), capacity=128)
+    return model, batch
+
+
+class TestDataParallel:
+    def test_eight_way_matches_single_device(self):
+        model, batch = scene_fixture()
+        opt = adam_init(model.params)
+        cfg = Config()
+        lr = gaussian_lr_tree(model.params, jnp.int32(1), cfg.opt, 1.0,
+                              label_lr=0.0)
+        frame_idxs = jnp.arange(8, dtype=jnp.int32)
+
+        # single-device (no mesh) result
+        m1, o1, loss1 = jax.jit(data_parallel_train_step)(
+            model, opt, batch, frame_idxs, lr
+        )
+
+        mesh = make_mesh(n_data=8)
+        step = make_dp_train_step(mesh)
+        m8, o8, loss8 = step(
+            replicate(mesh, model), replicate(mesh, opt),
+            replicate(mesh, batch), shard_batch(mesh, frame_idxs),
+            replicate(mesh, lr),
+        )
+        np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(m8.params.xyz), np.asarray(m1.params.xyz), atol=1e-5
+        )
+
+    def test_loss_decreases_over_steps(self):
+        model, batch = scene_fixture()
+        opt = adam_init(model.params)
+        cfg = Config()
+        mesh = make_mesh(n_data=8)
+        step = make_dp_train_step(mesh)
+        m = replicate(mesh, model)
+        o = replicate(mesh, opt)
+        b = replicate(mesh, batch)
+        idxs = shard_batch(mesh, jnp.arange(8, dtype=jnp.int32))
+        losses = []
+        for it in range(1, 11):
+            lr = replicate(mesh, gaussian_lr_tree(
+                model.params, jnp.int32(it), cfg.opt, 1.0, label_lr=0.0))
+            m, o, loss = step(m, o, b, idxs, lr)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+
+class TestMultiScene:
+    def test_two_scenes_match_individual(self):
+        cfg = Config()
+        scenes = [scene_fixture(seed=s) for s in (0, 1)]
+        lr = gaussian_lr_tree(scenes[0][0].params, jnp.int32(1), cfg.opt, 1.0,
+                              label_lr=0.0)
+        fidx = jnp.arange(4, dtype=jnp.int32)
+
+        # individual results
+        singles = []
+        for model, batch in scenes:
+            m, o, loss = jax.jit(data_parallel_train_step)(
+                model, adam_init(model.params), batch, fidx, lr
+            )
+            singles.append((m, float(loss)))
+
+        mesh = make_mesh(n_scene=2, n_data=4)
+        step = make_multi_scene_step(mesh)
+        models = stack_scenes([s[0] for s in scenes])
+        opts = stack_scenes([adam_init(s[0].params) for s in scenes])
+        batches = stack_scenes([s[1] for s in scenes])
+        fidxs = jnp.tile(fidx[None], (2, 1))
+        lrs = stack_scenes([lr, lr])
+        new_models, new_opts, losses = step(models, opts, batches, fidxs, lrs)
+
+        outs = unstack_scenes(new_models, 2)
+        for i in range(2):
+            np.testing.assert_allclose(
+                float(losses[i]), singles[i][1], rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(outs[i].params.xyz),
+                np.asarray(singles[i][0].params.xyz), atol=1e-5,
+            )
