@@ -57,6 +57,11 @@ def main(argv=None):
         f"{len(scene.cameras)} cameras, {len(scene.points)} init points, "
         f"extent {scene.cameras_extent:.3f}"
     )
+    # input.ply + cameras.json for external viewers (reference
+    # scene/__init__.py:79-91)
+    from egogaussian_tpu.data.readers import write_scene_artifacts
+
+    write_scene_artifacts(scene, out)
 
     lpips_fn = None
     if args.lpips_weights:

@@ -287,12 +287,46 @@ class SceneData:
         return float(self.nerf_norm["radius"])
 
 
+def camera_to_json(idx: int, cam: Camera) -> dict:
+    """Viewer-compatible cameras.json entry (reference camera_to_JSON,
+    utils/camera_utils.py:104-124: position/rotation are camera-to-world)."""
+    R_w2c = np.asarray(cam.viewmat[:3, :3])
+    center = np.asarray(cam.camera_center)
+    return {
+        "id": idx,
+        "img_name": cam.image_name,
+        "width": cam.width,
+        "height": cam.height,
+        "position": center.tolist(),
+        "rotation": R_w2c.T.tolist(),
+        "fx": float(cam.fx),
+        "fy": float(cam.fy),
+    }
+
+
+def write_scene_artifacts(scene: "SceneData", out_dir: str) -> None:
+    """Write input.ply + cameras.json like the reference Scene.__init__
+    (scene/__init__.py:79-91) so standard 3DGS viewers can open the run."""
+    import json
+
+    from egogaussian_tpu.data.colmap import write_points3d_ply
+
+    os.makedirs(out_dir, exist_ok=True)
+    write_points3d_ply(os.path.join(out_dir, "input.ply"), scene.points, scene.colors)
+    with open(os.path.join(out_dir, "cameras.json"), "w") as f:
+        json.dump(
+            [camera_to_json(i, c) for i, c in enumerate(scene.cameras)], f
+        )
+
+
 def load_colmap_scene(
     source_path: str,
     images_dir: str = "images",
     resolution: int = -1,
     load_hand_masks: bool = True,
     load_obj_masks: bool = True,
+    load_est_depths: bool = False,
+    load_pred_cb: bool = False,
 ) -> SceneData:
     """Load a COLMAP scene directory in the reference's layout
     (readColmapSceneInfo, dataset_readers.py:213-296):
@@ -334,6 +368,12 @@ def load_colmap_scene(
 
     hand_dir = os.path.join(source_path, "hand_masks") if load_hand_masks else None
     obj_dir = os.path.join(source_path, "obj_masks") if load_obj_masks else None
+    # optional feature stacks (loaded-if-present plumbing like the reference
+    # dataset_readers.py:228-252; no default loss consumes them)
+    depth_dir = os.path.join(source_path, "est_depths") if load_est_depths else None
+    cb_dir = os.path.join(source_path, "pred_cb") if load_pred_cb else None
+    depth_dir = depth_dir if depth_dir and os.path.isdir(depth_dir) else None
+    cb_dir = cb_dir if cb_dir and os.path.isdir(cb_dir) else None
 
     cameras: List[Camera] = []
     for im in sorted(extr.values(), key=lambda x: x.name):
@@ -358,6 +398,11 @@ def load_colmap_scene(
         gt = load_image(os.path.join(img_dir, os.path.basename(im.name)), (w, h))
         hand = load_feature(hand_dir, im.name, (w, h)) if hand_dir else None
         obj = load_feature(obj_dir, im.name, (w, h)) if obj_dir else None
+        est_depth = (
+            load_feature(depth_dir, im.name, (w, h), allow_npy=True)
+            if depth_dir else None
+        )
+        pred_cb = load_feature(cb_dir, im.name, (w, h)) if cb_dir else None
         cameras.append(
             Camera.from_colmap(
                 R_w2c=R.astype(np.float32),
@@ -372,6 +417,8 @@ def load_colmap_scene(
                 gt_image=gt,
                 hand_mask=hand,
                 obj_mask=obj,
+                est_depth=est_depth,
+                pred_cb=pred_cb,
             )
         )
     norm = compute_nerfpp_norm(cameras)

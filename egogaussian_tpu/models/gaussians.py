@@ -250,7 +250,19 @@ def ensure_capacity(model, opt_state, min_free: int = None):
             [x, jnp.zeros((C,) + x.shape[1:], x.dtype)], axis=0
         )
 
-    params = jtu.tree_map(pad, model.params)
+    # Pad params with SAFE per-field defaults, not zeros: a zero quaternion
+    # has a NaN normalize-gradient, and even though dead rows get zero loss
+    # gradient, 0 * NaN = NaN poisons the whole array on the next step.
+    fresh = _empty_params(new_c, model.sh_degree)
+    params = GaussianParams(
+        **{
+            f.name: jnp.concatenate(
+                [getattr(model.params, f.name), getattr(fresh, f.name)[C:]],
+                axis=0,
+            )
+            for f in dataclasses.fields(model.params)
+        }
+    )
     # aux needs type-correct padding (alive False, quats not needed here)
     aux = GaussianAux(
         alive=jnp.concatenate([model.aux.alive, jnp.zeros((C,), bool)]),

@@ -7,13 +7,18 @@ vmaps/broadcasts over a leading batch axis without python loops.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Normalize quaternions [..., 4] (wxyz) to unit norm."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+    """Normalize quaternions [..., 4] (wxyz) to unit norm.
+
+    Uses rsqrt(|q|^2 + eps^2) rather than /max(|q|, eps): the latter has a
+    NaN gradient at q = 0 (d|q|/dq = q/|q|), and dead/padding rows with
+    zero loss gradients still poison arrays through 0 * NaN."""
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q * jax.lax.rsqrt(sq + eps * eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

@@ -14,12 +14,19 @@ def rot6d_to_rotmat(d6: jnp.ndarray) -> jnp.ndarray:
     """[..., 3, 2] (or [..., 6]) -> rotation matrices [..., 3, 3]."""
     if d6.shape[-1] == 6:
         d6 = d6.reshape(d6.shape[:-1] + (3, 2))
+    import jax
+
+    def safe_normalize(v):
+        # rsqrt(|v|^2 + eps^2): finite gradient at v = 0 (see quaternion.py)
+        return v * jax.lax.rsqrt(
+            jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24
+        )
+
     a1 = d6[..., :, 0]
     a2 = d6[..., :, 1]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    b1 = safe_normalize(a1)
     a2_proj = jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = a2 - a2_proj
-    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
+    b2 = safe_normalize(a2 - a2_proj)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 

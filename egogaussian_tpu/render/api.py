@@ -38,8 +38,12 @@ def _colors_from_sh(
     gaussian_renderer/__init__.py:77-85). sh_coeffs: [N, K, 3]."""
     if sh_degree == 0:
         return jnp.clip(sh_to_rgb(sh_coeffs[:, 0, :]), 0.0, None)
+    import jax
+
     dirs = means3d - campos[None]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    dirs = dirs * jax.lax.rsqrt(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-16
+    )
     rgb = eval_sh(sh_degree, jnp.swapaxes(sh_coeffs, -1, -2), dirs)
     return jnp.clip(rgb + 0.5, 0.0, None)
 

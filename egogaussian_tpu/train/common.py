@@ -51,12 +51,17 @@ def image_loss(
     )
 
 
-def opacity_entropy(opacity: jnp.ndarray, visible: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary entropy of visible Gaussians' opacities
-    (reference train_static.py:97-102)."""
-    o = opacity
-    ent = -o * jnp.log(o + 1e-10) - (1 - o) * jnp.log(1 - o + 1e-10)
-    w = visible.astype(o.dtype)
+def opacity_entropy(opacity_logit: jnp.ndarray, visible: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary entropy of visible Gaussians' opacities, computed FROM THE
+    LOGITS (reference train_static.py:97-102 computes
+    -o log(o+1e-10) - (1-o) log(1-o+1e-10) on probabilities; under jit XLA
+    reassociates (1-o)+1e-10 into (1+1e-10)-o == 1-o, so saturated opacities
+    hit log(0) = -inf and 0 * -inf = NaN. log_sigmoid is exact and never
+    -inf for finite logits)."""
+    x = opacity_logit
+    o = jax.nn.sigmoid(x)
+    ent = -(o * jax.nn.log_sigmoid(x) + (1.0 - o) * jax.nn.log_sigmoid(-x))
+    w = visible.astype(ent.dtype)
     return jnp.sum(ent * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 

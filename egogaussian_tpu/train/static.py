@@ -76,12 +76,15 @@ def _static_step(
     lambda_dssim: float = 0.2,
     backend: str = "tiled",
     tile_config=None,
+    bg_color=None,
 ):
     """One training iteration. mode in {"std", "entropy", "label"}.
+    `bg_color`: optional traced [3] background (random_background support,
+    reference OptimizationParams.random_background).
     `grad_mask` [1,H,W]: pixels whose gradients are zeroed (hand, or
     dilated hand|obj for the background stage)."""
     cam, gt, _, obj_mask = batch.frame(frame_idx)
-    bg = jnp.zeros(3, model.params.xyz.dtype)
+    bg = jnp.zeros(3, model.params.xyz.dtype) if bg_color is None else bg_color
     probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
 
     def loss_fn(params, probe):
@@ -102,7 +105,9 @@ def _static_step(
         img = mask_grad(res.image, grad_mask)
         loss = image_loss(img, gt, lambda_dssim)
         if mode == "entropy":
-            loss = loss + 0.1 * opacity_entropy(m.opacity, res.radii > 0)
+            loss = loss + 0.1 * opacity_entropy(
+                m.params.opacity_logit[:, 0], res.radii > 0
+            )
         return loss, (res.radii, loss)
 
     grads, (radii, loss) = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
@@ -209,10 +214,14 @@ def train_static(
                     label_lr=0.0,
                 )
             hand = batch.hand_masks[fidx]
+            bg_color = (
+                jnp.asarray(rng.rand(3), jnp.float32)
+                if opt_cfg.random_background else None
+            )
             model, opt_state, loss, radii = _static_step(
                 model, opt_state, batch, jnp.int32(fidx), hand, lr_tree,
                 mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
-                tile_config=tile_cfg,
+                tile_config=tile_cfg, bg_color=bg_color,
             )
 
             # densification schedule (train_static.py:125-133)

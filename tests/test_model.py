@@ -238,6 +238,60 @@ class TestDensify:
         assert int(m2.num_alive) == 0
 
 
+class TestEnsureCapacity:
+    def test_padding_is_type_safe(self):
+        # regression: zero-padded quats have NaN normalize-gradients which
+        # poison training through 0 * NaN (found by the quality run)
+        from egogaussian_tpu.models.gaussians import ensure_capacity
+
+        m = small_model(20, capacity=32)
+        # fill almost all slots so growth triggers
+        m = dataclasses.replace(
+            m, aux=dataclasses.replace(m.aux, alive=jnp.ones(32, bool))
+        )
+        state = adam_init(m.params)
+        m2, state2, grew = ensure_capacity(m, state, min_free=16)
+        assert grew and m2.capacity == 64
+        pad_quats = np.asarray(m2.params.quats)[32:]
+        np.testing.assert_allclose(pad_quats, [[1, 0, 0, 0]] * 32)
+        assert (np.asarray(m2.params.log_scales)[32:] < -5).all()
+        # moments padded with zeros
+        assert np.allclose(np.asarray(state2.mu.xyz)[32:], 0.0)
+
+    def test_zero_quat_gradient_finite(self):
+        from egogaussian_tpu.ops.quaternion import quat_to_rotmat
+
+        g = jax.grad(lambda q: jnp.sum(quat_to_rotmat(q)))(jnp.zeros(4))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_full_loss_grad_finite_with_dead_zero_rows(self):
+        # end-to-end: a model with zero-ish dead rows must produce finite
+        # grads for everything through the render loss
+        from egogaussian_tpu.render.api import render
+        from egogaussian_tpu.ops.covariance import covariance_from_scaling_rotation
+        from tests.test_render import make_camera
+
+        cam = make_camera(width=32, height=24)
+        m = small_model(10, capacity=32)
+        params = dataclasses.replace(
+            m.params, quats=m.params.quats.at[10:].set(0.0)
+        )  # simulate the old zero padding
+
+        def loss(quats):
+            cov = covariance_from_scaling_rotation(
+                jnp.exp(params.log_scales), quats
+            )
+            res = render(
+                cam, params.xyz, cov, jax.nn.sigmoid(params.opacity_logit[:, 0]),
+                jnp.zeros(3), colors_precomp=jnp.ones((32, 3)),
+                valid_mask=m.aux.alive,
+            )
+            return jnp.mean(res.image)
+
+        g = jax.grad(loss)(params.quats)
+        assert np.isfinite(np.asarray(g)).all()
+
+
 class TestCombineCompact:
     def test_compact_packs_front(self):
         m = small_model(20, capacity=128)

@@ -124,6 +124,21 @@ class TestStaticStep:
         )
 
 
+class TestEntropySaturation:
+    def test_entropy_finite_at_saturated_opacities_under_jit(self):
+        """Regression: XLA reassociates (1-o)+eps into (1+eps)-o, so the old
+        probability-space entropy hit log(0) * 0 = NaN for saturated
+        opacities — only under jit."""
+        from egogaussian_tpu.train.common import opacity_entropy
+
+        logits = jnp.array([-100.0, -16.0, 0.0, 16.64, 40.0, 100.0])
+        visible = jnp.ones(6, bool)
+        v = jax.jit(opacity_entropy)(logits, visible)
+        assert np.isfinite(float(v))
+        g = jax.jit(jax.grad(lambda x: opacity_entropy(x, visible)))(logits)
+        assert np.isfinite(np.asarray(g)).all()
+
+
 class TestStaticTrainer:
     def test_runs_end_to_end(self, video, tmp_path):
         cfg = tiny_config()
