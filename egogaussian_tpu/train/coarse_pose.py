@@ -74,7 +74,7 @@ from egogaussian_tpu.utils.console import CONSOLE
     jax.jit,
     static_argnames=(
         "train_pose", "lambda_image", "lambda_dssim", "lambda_l1_alpha",
-        "lambda_l2_alpha", "backend", "tile_config",
+        "lambda_l2_alpha", "backend", "tile_config", "grad_params",
     ),
 )
 def pose_step(
@@ -97,8 +97,12 @@ def pose_step(
     lambda_l2_alpha: float = 0.5,
     backend: str = "tiled",
     tile_config=None,
+    grad_params: bool = True,
 ):
-    """One pose-optimization iteration (shared by stages 2 and 3)."""
+    """One pose-optimization iteration (shared by stages 2 and 3).
+    grad_params=False skips the Gaussian-parameter backward entirely (the
+    coarse warm-up trains pose only for 20k of 30k iters — no point paying
+    for param gradients that meet zero learning rates)."""
     cam, gt, hand, obj_mask = batch.frame(cam_idx)
     bg = jnp.zeros(3, model.params.xyz.dtype)
     probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
@@ -123,10 +127,17 @@ def pose_step(
         loss = loss + lambda_l2_alpha * l2_loss(obj_mask, alpha)
         return loss, (res.radii, loss)
 
-    grads, (radii, loss) = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-        model.params, pose, probe
-    )
-    param_grads, pose_grads, probe_grads = grads
+    if grad_params:
+        grads, (radii, loss) = jax.grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(model.params, pose, probe)
+        param_grads, pose_grads, probe_grads = grads
+    else:
+        grads, (radii, loss) = jax.grad(
+            loss_fn, argnums=(1, 2), has_aux=True
+        )(jax.lax.stop_gradient(model.params), pose, probe)
+        pose_grads, probe_grads = grads
+        param_grads = jax.tree_util.tree_map(jnp.zeros_like, model.params)
 
     # densification stats only after warm-up (coarse_obj_pose.py:283-287)
     stats_model = add_densification_stats(model, probe_grads, radii)
@@ -299,6 +310,7 @@ def estimate_coarse_obj_pose(
                     lambda_l2_alpha=cp.lambda_Ll2_alpha,
                     backend=backend,
                     tile_config=tile_cfg,
+                    grad_params=first_frame or it >= cp.warm_up_iter,
                 )
                 if train_p:
                     pose_seq = pose_seq.update_frame(f_cur, pose)

@@ -90,15 +90,21 @@ def _static_step(
     def loss_fn(params, probe):
         m = dataclasses.replace(model, params=params)
         if mode == "label":
-            label_img = render_label_image(m, cam, backend=backend,
-                                           tile_config=tile_config)
-            label_img = mask_grad(label_img, grad_mask)
-            loss = bce_with_logits(label_img, obj_mask)
-            # radii from a detached geometry render for the visibility filter
-            res = render_gaussians(
-                jax.lax.stop_gradient(m), cam, bg, backend=backend,
+            from egogaussian_tpu.render.api import render as render_api
+
+            # one render: label as the color channel with detached geometry
+            # (get_render_label twin); its radii ARE the visibility filter —
+            # no second RGB render needed
+            sg = jax.lax.stop_gradient
+            res = render_api(
+                cam, sg(m.params.xyz), sg(m.covariance()), sg(m.opacity),
+                bg=jnp.zeros((1,), m.params.xyz.dtype),
+                colors_precomp=m.params.label,
+                valid_mask=m.aux.alive, backend=backend,
                 tile_config=tile_config,
             )
+            label_img = mask_grad(res.image, grad_mask)
+            loss = bce_with_logits(label_img, obj_mask)
             return loss, (res.radii, loss)
         res = render_gaussians(m, cam, bg, means2d_probe=probe,
                                backend=backend, tile_config=tile_config)
