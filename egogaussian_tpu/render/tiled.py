@@ -109,16 +109,19 @@ def estimate_tile_config(
     )
 
 
-def bin_gaussians(
+def bin_pairs(
     proj: ProjectedGaussians, width: int, height: int, config: TileConfig
 ):
-    """Exact tile binning. Returns per-tile gather indices into depth-sorted
-    Gaussian arrays plus the depth-sort permutation.
+    """Exact tile binning at the pair level.
 
     Returns:
       order: [N] depth-sort permutation
-      tile_gather: [n_tiles, max_per_tile] indices into depth-sorted arrays
-      tile_mask: [n_tiles, max_per_tile] bool validity
+      g_sorted: [max_pairs] gaussian index (into depth-sorted arrays) of each
+        pair, sorted by tile id (depth order preserved within tiles)
+      tile_of_pair: [max_pairs] tile id (n_tiles for invalid pairs)
+      starts: [n_tiles] first pair index of each tile
+      tile_cnt: [n_tiles] pairs per tile (clamped to max_per_tile)
+      (n_tx, n_ty)
     """
     ts = config.tile_size
     n_tx = -(-width // ts)
@@ -177,12 +180,28 @@ def bin_gaussians(
     ends_all = jnp.cumsum(hist)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_all[:-1]])[:n_tiles]
     tile_cnt = jnp.minimum(ends_all[:n_tiles] - starts, config.max_per_tile)
+    return order, g_sorted, tile_sorted, starts, tile_cnt, (n_tx, n_ty)
 
+
+def bin_gaussians(
+    proj: ProjectedGaussians, width: int, height: int, config: TileConfig
+):
+    """Per-tile gather-matrix view of bin_pairs (used by the XLA tiled
+    compositor).
+
+    Returns:
+      order: [N] depth-sort permutation
+      tile_gather: [n_tiles, max_per_tile] indices into depth-sorted arrays
+      tile_mask: [n_tiles, max_per_tile] bool validity
+    """
+    order, g_sorted, _, starts, tile_cnt, dims = bin_pairs(
+        proj, width, height, config
+    )
     m_idx = jnp.arange(config.max_per_tile, dtype=jnp.int32)
     gather_pos = jnp.clip(starts[:, None] + m_idx[None, :], 0, config.max_pairs - 1)
     tile_gather = g_sorted[gather_pos]  # [n_tiles, M]
     tile_mask = m_idx[None, :] < tile_cnt[:, None]
-    return order, tile_gather, tile_mask, (n_tx, n_ty)
+    return order, tile_gather, tile_mask, dims
 
 
 def composite_tiled(
@@ -296,36 +315,60 @@ def composite_pallas(
     in the fused Pallas kernel pair (render/pallas_raster.py). Binning and
     the per-tile gathers stay in XLA so their VJPs (scatter-adds back to the
     N-Gaussian arrays) come for free."""
-    from egogaussian_tpu.render.pallas_raster import make_tile_compositor
+    from egogaussian_tpu.render.pallas_raster import (
+        make_tile_compositor,
+        make_tile_compositor_chunked,
+        _CHUNK,
+    )
 
     n = proj.depths.shape[0]
     d = colors.shape[-1]
     config = _default_config(n, config)
     ts = config.tile_size
 
-    order, tile_gather, tile_mask, (n_tx, n_ty) = bin_gaussians(
+    # NOTE: a scatter-into-[T*M] layout (one max_pairs-row scatter per field
+    # instead of T*M-row gathers) was tried and measured SLOWER on TPU v5e
+    # (80 ms vs 60 ms fwd) — XLA scatters serialize; gathers don't. The win
+    # is MINIMIZING GATHERED ROWS (~9 ns/row regardless of width): pack all
+    # 7+D channels once, then a single [N]->[pairs]->[T*M] gather chain.
+    order, g_sorted, _, starts, tile_cnt, (n_tx, n_ty) = bin_pairs(
         proj, width, height, config
     )
-    means2d = proj.means2d[order]
-    conics = proj.conics[order]
-    depths = proj.depths[order]
-    cols = colors[order]
-    ops = opacities[order]
+    m = config.max_per_tile
+    n_tiles = n_tx * n_ty
 
-    mu_t = means2d[tile_gather]  # [T, M, 2]
-    con_t = conics[tile_gather]  # [T, M, 3]
-    op_t = jnp.where(tile_mask, ops[tile_gather], 0.0)[..., None]  # [T, M, 1]
-    col_t = cols[tile_gather]  # [T, M, D]
-    z_t = depths[tile_gather][..., None]  # [T, M, 1]
+    packed = jnp.concatenate(
+        [
+            proj.means2d,
+            proj.conics,
+            opacities[:, None],
+            colors,
+            proj.depths[:, None],
+        ],
+        axis=1,
+    )[order]
+    pairs = packed[g_sorted]  # [max_pairs, 7+D]
+    m_idx = jnp.arange(m, dtype=jnp.int32)
+    gather_pos = jnp.clip(starts[:, None] + m_idx[None, :], 0, config.max_pairs - 1)
+    data_t = pairs[gather_pos]  # [T, M, 7+D]
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    compositor = make_tile_compositor(
-        n_tx * n_ty, config.max_per_tile, d, ts, n_tx, interpret=interpret
-    )
-    img_t, alpha_t, depth_t = compositor(
-        mu_t, con_t, op_t, col_t, z_t, bg[None, :]
-    )
+    if m % _CHUNK == 0:
+        compositor = make_tile_compositor_chunked(
+            n_tiles, m, d, ts, n_tx, interpret=interpret
+        )
+        img_t, alpha_t, depth_t = compositor(tile_cnt, data_t, bg[None, :])
+    else:
+        tile_mask = m_idx[None, :] < tile_cnt[:, None]
+        compositor = make_tile_compositor(
+            n_tiles, m, d, ts, n_tx, interpret=interpret
+        )
+        img_t, alpha_t, depth_t = compositor(
+            data_t[..., 0:2], data_t[..., 2:5],
+            jnp.where(tile_mask, data_t[..., 5], 0.0)[..., None],
+            data_t[..., 6:6 + d], data_t[..., 6 + d:7 + d], bg[None, :]
+        )
     image = _untile(img_t, n_tx, n_ty, ts, width, height)
     alpha = _untile(alpha_t, n_tx, n_ty, ts, width, height)
     depth = _untile(depth_t, n_tx, n_ty, ts, width, height)
