@@ -77,6 +77,15 @@ def split_viewpoints_by_phase(
     return out
 
 
+def find_idx_by_image_name(cameras: Sequence[Camera], image_name: str) -> int:
+    """Index of the camera with a given image name (reference
+    find_idx_by_image_name, utils/dynamic_utils.py:10); -1 if absent."""
+    for i, c in enumerate(cameras):
+        if c.image_name == image_name:
+            return i
+    return -1
+
+
 def frame_number(image_name: str) -> Optional[int]:
     """Frame index from an image name; handles the EK 'frame_0000000123'
     prefix the reference strips (scene/cameras.py:31-33) and plain digits."""

@@ -19,3 +19,17 @@ except ImportError:  # pragma: no cover
             print(*args)
 
     CONSOLE = _PlainConsole()
+
+
+def safe_state(seed: int = 0):
+    """Seed every host RNG used by the framework (reference safe_state,
+    utils/general_utils.py:158-179 — there it also redirects stdout; here it
+    just makes host-side sampling deterministic). Returns a jax PRNG key."""
+    import random
+
+    import jax
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
