@@ -31,6 +31,8 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="resume from existing stage artifacts")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="mid-stage checkpoint interval (0 = off)")
     parser.add_argument("--lpips_weights", default=None,
                         help=".npz LPIPS weights (eval/lpips.py)")
     args = parser.parse_args(argv)
@@ -80,6 +82,7 @@ def main(argv=None):
         backend=cfg.render.backend,
         resume=args.resume,
         lpips_fn=lpips_fn,
+        checkpoint_every=args.checkpoint_every,
     )
     CONSOLE.print("Final metrics:", result.metrics)
     return result

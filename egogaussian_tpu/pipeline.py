@@ -82,6 +82,7 @@ def run_pipeline(
     resume: bool = False,
     lpips_fn=None,
     fine_variant: str = "from-coarse",
+    checkpoint_every: int = 0,
 ) -> PipelineResult:
     cameras = scene.cameras
     extent = scene.cameras_extent
@@ -100,7 +101,7 @@ def run_pipeline(
         static_results = train_static(
             cameras, scene.points, scene.colors, cfg, static_groups, extent,
             save_dir=static_dir, seed=seed, backend=backend,
-            first_phase_only=True,
+            first_phase_only=True, checkpoint_every=checkpoint_every,
         )
         obj_model = static_results[0].obj_model
         obj_model = dataclasses.replace(obj_model, spatial_lr_scale=extent)

@@ -1,0 +1,68 @@
+"""Mid-stage checkpoint hook for the long training loops.
+
+The pipeline resumes at stage granularity from PLY/pose artifacts
+(pipeline.py); this hook adds iteration granularity inside a stage: every
+`every` iterations it atomically snapshots (model, opt_state, iteration,
+host-RNG state, jax PRNG key) and a fresh run of the same stage resumes
+from the latest snapshot (SURVEY.md §5 failure-recovery row, beyond the
+reference's manual uncomment-to-resume).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from egogaussian_tpu.utils.checkpoint import load_train_state, save_train_state
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+class StageCheckpointer:
+    def __init__(self, path: Optional[str], every: int = 0):
+        """path=None or every=0 disables checkpointing entirely."""
+        self.path = path
+        self.every = every
+
+    def maybe_save(self, it: int, state: Any, rng: np.random.RandomState,
+                   key: jax.Array) -> None:
+        if not self.path or not self.every or it % self.every:
+            return
+        save_train_state(self.path, state)
+        with open(self.path + ".host", "wb") as f:
+            pickle.dump(
+                {"it": it, "rng": rng.get_state(), "key": np.asarray(key)}, f
+            )
+        os.replace(self.path + ".host", self.path + ".rng")
+
+    def exists(self) -> bool:
+        return bool(self.path) and os.path.exists(self.path) and os.path.exists(
+            self.path + ".rng"
+        )
+
+    def peek_capacity(self) -> int:
+        """Capacity (leading dim of the first leaf) of the saved state —
+        lets the caller grow a fresh model to match before restore."""
+        data = np.load(self.path)
+        return int(data["leaf_0"].shape[0])
+
+    def try_restore(
+        self, state_like: Any, rng: np.random.RandomState, key: jax.Array
+    ) -> Tuple[Any, int, jax.Array]:
+        """Returns (state, start_iteration, key); start_iteration = 0 when no
+        checkpoint exists. Restores the host RNG in place."""
+        if not self.path or not os.path.exists(self.path):
+            return state_like, 0, key
+        host_path = self.path + ".rng"
+        if not os.path.exists(host_path):
+            return state_like, 0, key
+        state = load_train_state(self.path, state_like)
+        with open(host_path, "rb") as f:
+            host = pickle.load(f)
+        rng.set_state(host["rng"])
+        import jax.numpy as jnp
+
+        CONSOLE.log(f"[ckpt] resuming stage from iteration {host['it']}")
+        return state, int(host["it"]), jnp.asarray(host["key"])

@@ -170,6 +170,7 @@ def train_static(
     seed: int = 0,
     backend: str = "auto",
     first_phase_only: bool = False,
+    checkpoint_every: int = 0,
 ) -> List[StaticPhaseResult]:
     """Stage 1.0. `static_phase_frames`: per-phase lists of camera indices
     (from data.readers.split_viewpoints_by_phase)."""
@@ -191,13 +192,44 @@ def train_static(
         backend = pick_backend(tile_cfg, backend)
         key = jax.random.PRNGKey(seed + phase)
 
+        # mid-stage checkpoint/resume (train/ckpt_hook.py)
+        from egogaussian_tpu.train.ckpt_hook import StageCheckpointer
+        from egogaussian_tpu.train.common import TrainState
+
+        ckpt = StageCheckpointer(
+            os.path.join(save_dir, f"ckpt_static_phase{phase}.npz")
+            if save_dir and checkpoint_every else None,
+            checkpoint_every,
+        )
+        start_it = 0
+        if ckpt.exists():
+            cap = ckpt.peek_capacity()
+            while model.capacity < cap:
+                model, opt_state, _ = ensure_capacity(
+                    model, opt_state, min_free=model.capacity + 1
+                )
+            state, start_it, key = ckpt.try_restore(
+                TrainState(model, opt_state, jnp.int32(0)), rng, key
+            )
+            model, opt_state = state.model, state.opt_state
+            tile_cfg = auto_tile_config(model, batch.camera(0))
+            backend = pick_backend(tile_cfg, backend)
+
         # frame sub-stack: all frames during std+entropy; rewind subset in label
         stack = list(range(len(phase_cams)))
+        if start_it > sp.std_train_iter + sp.entropy_reg_iter:
+            n_ph = len(static_phase_frames)
+            if phase == 0:
+                stack = stack[-sp.rewind_frames:]
+            elif phase == n_ph - 1:
+                stack = stack[: sp.rewind_frames]
+            else:
+                stack = stack[: sp.rewind_frames] + stack[-sp.rewind_frames:]
         CONSOLE.log(
             f"[static] phase {phase}: {len(phase_cams)} frames, "
             f"{total_iters} iters, capacity {model.capacity}"
         )
-        for it in range(1, total_iters + 1):
+        for it in range(start_it + 1, total_iters + 1):
             fidx = stack[rng.randint(len(stack))]
             if it <= sp.std_train_iter:
                 mode = "std"
@@ -247,6 +279,10 @@ def train_static(
                     model, opt_state, _ = ensure_capacity(model, opt_state)
                 if it % opt_cfg.opacity_reset_interval == 0:
                     model, opt_state = _reset_opacity_jit(model, opt_state)
+
+            ckpt.maybe_save(
+                it, TrainState(model, opt_state, jnp.int32(it)), rng, key
+            )
 
             # entropy-phase end: prune + rewind (train_static.py:146-162)
             if it == sp.std_train_iter + sp.entropy_reg_iter:

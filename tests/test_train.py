@@ -272,3 +272,44 @@ class TestFineAll:
         )
         assert int(model.num_alive) > 0
         assert (tmp_path / "gaussians_all.ply").exists()
+
+
+class TestMidStageCheckpoint:
+    def test_static_resume_reproduces_run(self, video, tmp_path):
+        """Killing and resuming the static stage mid-way must land on the
+        same final state as an uninterrupted run (same host RNG stream)."""
+        import shutil
+
+        cfg = tiny_config()
+        groups = split_viewpoints_by_phase(video.cameras, video.static_phases)
+
+        d_full = str(tmp_path / "full")
+        r_full = train_static(
+            video.cameras, video.points, video.colors, cfg, groups, 4.0,
+            save_dir=d_full, first_phase_only=True, checkpoint_every=37,
+        )
+
+        # interrupted run: first do a partial pass by truncating iterations
+        d_res = str(tmp_path / "resumed")
+        cfg_half = tiny_config()
+        cfg_half.static = dataclasses.replace(
+            cfg_half.static,
+            std_train_iter=40, entropy_reg_iter=0, label_train_iter=0,
+        )
+        train_static(
+            video.cameras, video.points, video.colors, cfg_half, groups, 4.0,
+            save_dir=d_res, first_phase_only=True, checkpoint_every=37,
+        )
+        # resume with the full schedule from the saved checkpoint (iter 37)
+        r_res = train_static(
+            video.cameras, video.points, video.colors, cfg, groups, 4.0,
+            save_dir=d_res, first_phase_only=True, checkpoint_every=37,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_res[0].model.params.xyz),
+            np.asarray(r_full[0].model.params.xyz), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_res[0].model.params.label),
+            np.asarray(r_full[0].model.params.label), atol=1e-5,
+        )
