@@ -332,7 +332,9 @@ def estimate_coarse_obj_pose(
                             which_object=1,
                         )
                         model, opt_state = res.model, res.opt_state
-                        model, opt_state, _ = ensure_capacity(model, opt_state)
+                        model, opt_state, grew = ensure_capacity(model, opt_state)
+                        if grew:
+                            tile_cfg = auto_tile_config(model, batch.camera(0))
                     if it % cp.opacity_reset_interval == 0:
                         model, opt_state = _reset_opacity_jit(
                             model, opt_state, which_object=1

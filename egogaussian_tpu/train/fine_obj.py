@@ -180,7 +180,9 @@ def fine_tune_obj(
                     which_object=1,
                 )
                 model, opt_state = res.model, res.opt_state
-                model, opt_state, _ = ensure_capacity(model, opt_state)
+                model, opt_state, grew = ensure_capacity(model, opt_state)
+                if grew:
+                    tile_cfg = auto_tile_config(model, batch.camera(0))
             if it % fp.opacity_reset_interval == 0:
                 model, opt_state = _reset_opacity_jit(
                     model, opt_state, which_object=1

@@ -276,7 +276,11 @@ def train_static(
                         percent_dense=opt_cfg.percent_dense,
                     )
                     model, opt_state = res.model, res.opt_state
-                    model, opt_state, _ = ensure_capacity(model, opt_state)
+                    model, opt_state, grew = ensure_capacity(model, opt_state)
+                    if grew:
+                        # capacity growth recompiles anyway — re-estimate the
+                        # binning capacities for the denser scene
+                        tile_cfg = auto_tile_config(model, batch.camera(0))
                 if it % opt_cfg.opacity_reset_interval == 0:
                     model, opt_state = _reset_opacity_jit(model, opt_state)
 
@@ -411,7 +415,9 @@ def train_background(
                     percent_dense=opt_cfg.percent_dense,
                 )
                 model, opt_state = res.model, res.opt_state
-                model, opt_state, _ = ensure_capacity(model, opt_state)
+                model, opt_state, grew = ensure_capacity(model, opt_state)
+                if grew:
+                    tile_cfg = auto_tile_config(model, batch.camera(0))
             if it % opt_cfg.opacity_reset_interval == 0:
                 model, opt_state = _reset_opacity_jit(model, opt_state)
         if it == total_iters:
