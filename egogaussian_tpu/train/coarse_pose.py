@@ -139,8 +139,12 @@ def pose_step(
         pose_grads, probe_grads = grads
         param_grads = jax.tree_util.tree_map(jnp.zeros_like, model.params)
 
-    # densification stats only after warm-up (coarse_obj_pose.py:283-287)
-    stats_model = add_densification_stats(model, probe_grads, radii)
+    # densification stats only after warm-up (coarse_obj_pose.py:283-287);
+    # NDC-unit gradient scaling like the CUDA backward (see static.py)
+    ndc_scale = jnp.array(
+        [batch.width * 0.5, batch.height * 0.5], model.params.xyz.dtype
+    )
+    stats_model = add_densification_stats(model, probe_grads * ndc_scale, radii)
     model = jax.tree_util.tree_map(
         lambda a, b: jnp.where(record_stats, b, a), model, stats_model
     )

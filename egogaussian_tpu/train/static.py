@@ -120,7 +120,14 @@ def _static_step(
         model.params, probe
     )
     param_grads, probe_grads = grads
-    model = add_densification_stats(model, probe_grads, radii)
+    # the reference accumulates screen-space gradients in NDC units (the
+    # CUDA backward scales dL/dmean2D by W/2, H/2); our probe is in pixels,
+    # so rescale — otherwise the tuned densify_grad_threshold (2e-4)
+    # under-triggers by ~W/2 at any resolution
+    ndc_scale = jnp.array(
+        [batch.width * 0.5, batch.height * 0.5], model.params.xyz.dtype
+    )
+    model = add_densification_stats(model, probe_grads * ndc_scale, radii)
     new_params, new_opt = adam_update(model.params, param_grads, opt_state, lr_tree)
     model = dataclasses.replace(model, params=new_params)
     return model, new_opt, loss, radii
