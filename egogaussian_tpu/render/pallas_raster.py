@@ -221,7 +221,7 @@ def _chunk_alphas(mu, con, op, px, py):
 
 def _fwd_kernel_chunked(n_tx: int, ts: int, m: int, d: int, cnt_ref,
                         data_ref, bg_ref,
-                        img_ref, alpha_ref, depth_ref,
+                        img_ref, alpha_ref, depth_ref, logt_ref,
                         acc_img, acc_a, acc_d, logT):
     """Packed input data_ref [1, M, 7+D]: mu(2) con(3) op(1) col(D) z(1).
     Rows beyond the tile's count are masked in-kernel (their slots hold the
@@ -273,28 +273,43 @@ def _fwd_kernel_chunked(n_tx: int, ts: int, m: int, d: int, cnt_ref,
     img_ref[0, :, :] = acc_img[...] + t_final.T * bg_ref[0, :][None, :]
     alpha_ref[0, :, :] = acc_a[...]
     depth_ref[0, :, :] = acc_d[...]
+    logt_ref[0, :, :] = logT[...]  # residual for the single-sweep backward
 
 
 def _bwd_kernel_chunked(n_tx: int, ts: int, m: int, d_ch: int, cnt_ref,
-                        data_ref, bg_ref,
+                        data_ref, bg_ref, logt_ref,
                         gimg_ref, galpha_ref, gdepth_ref,
                         ddata_ref,
-                        logT, wd_total):
-    """Two forward sweeps: pass 1 accumulates total_wd and final T; pass 2
-    recomputes prefix quantities per chunk and emits gradients using
-    S_i = (total_wd - incl_wd_i) + T_final * (g_img . bg)."""
+                        suf_log, suf_S):
+    """SINGLE reverse sweep (the CUDA backward's back-to-front structure,
+    suffix-accumulated in log space). The forward saves logT_total per pixel;
+    for row r of chunk i (processed last-to-first):
+
+      U(r)        = sum_{r' >= r, same chunk} log(1-alpha_r') + suffix_log
+      logT_excl(r) = logT_total - U(r)                  # prefix, exactly
+      S(r)        = strict-suffix(w*dLdw) + suffix_S + T_final*(g_img.bg)
+      dL/dalpha   = T_excl dLdw - S / (1-alpha)
+
+    vs the previous two-forward-pass scheme this halves the alpha/dLdw
+    recomputation and triangular matmuls (one suffix matmul pair per chunk
+    instead of three prefix matmuls across both passes)."""
     tile_id = pl.program_id(0)
     dtype = jnp.float32
     px, py = _pixel_coords(tile_id, ts, n_tx, dtype)
     cnt = cnt_ref[tile_id]
-    L = _tril(_CHUNK, dtype)
     n_chunks = (cnt + _CHUNK - 1) // _CHUNK
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1)
+    U_mat = (cols >= rows).astype(dtype)  # suffix-inclusive
+    V_mat = (cols > rows).astype(dtype)  # suffix-strict
 
     gimg = gimg_ref[0]  # [P, D]
     galpha = galpha_ref[0][:, 0]
     gdepth = gdepth_ref[0][:, 0]
     bg = bg_ref[0, :]
+    logT_total = logt_ref[0]  # [1, P]
+    base_S = jnp.exp(logT_total) * jnp.sum(gimg * bg[None, :], axis=-1)[None, :]
 
     def chunk_data(i):
         off = i * _CHUNK
@@ -307,60 +322,32 @@ def _bwd_kernel_chunked(n_tx: int, ts: int, m: int, d_ch: int, cnt_ref,
             blk[:, 6 + d_ch:7 + d_ch],
         )
 
-    def dldw(w_alpha_chunk, col, z):
-        out = jax.lax.dot_general(
-            col, gimg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return out + z[:, 0:1] * gdepth[None, :] + galpha[None, :]
-
-    # ---- pass 1: totals ----
-    logT[...] = jnp.zeros_like(logT)
-    wd_total[...] = jnp.zeros_like(wd_total)
-
-    def pass1(i, _):
-        mu, con, op, col, z = chunk_data(i)
-        alpha, _, _, _, _ = _chunk_alphas(mu, con, op, px, py)
-        log1m = jnp.log1p(-alpha)
-        incl = jax.lax.dot_general(
-            L, log1m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + logT[...]
-        w = alpha * jnp.exp(incl - log1m)
-        wd_total[...] += jnp.sum(w * dldw(w, col, z), axis=0, keepdims=True)
-        logT[...] = incl[_CHUNK - 1:, :]
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, pass1, 0)
-    t_final = jnp.exp(logT[...])  # [1, P]
-    g_tfinal = jnp.sum(gimg * bg[None, :], axis=-1)[None, :]
-    total = wd_total[...] + t_final * g_tfinal  # suffix base, [1, P]
-
-    # zero all gradient outputs (rows beyond cnt stay zero)
+    # zero all gradient outputs (rows beyond n_chunks*_CHUNK are never written)
     ddata_ref[0, :, :] = jnp.zeros_like(ddata_ref[0])
+    suf_log[...] = jnp.zeros_like(suf_log)
+    suf_S[...] = jnp.zeros_like(suf_S)
 
-    # ---- pass 2: gradients ----
-    logT[...] = jnp.zeros_like(logT)
-    wd_total[...] = jnp.zeros_like(wd_total)  # reuse as running incl_wd base
-
-    def pass2(i, _):
+    def body(j, _):
+        i = n_chunks - 1 - j
         off = i * _CHUNK
         mu, con, op, col, z = chunk_data(i)
         alpha, raw, power, dx, dy = _chunk_alphas(mu, con, op, px, py)
         log1m = jnp.log1p(-alpha)
-        incl = jax.lax.dot_general(
-            L, log1m, (((1,), (0,)), ((), ())),
+        U = jax.lax.dot_general(
+            U_mat, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + logT[...]
-        T_excl = jnp.exp(incl - log1m)
+        ) + suf_log[...]
+        T_excl = jnp.exp(logT_total - U)
         w = alpha * T_excl
-        d = dldw(w, col, z)
-        wd = w * d
-        incl_wd = jax.lax.dot_general(
-            L, wd, (((1,), (0,)), ((), ())),
+        d = jax.lax.dot_general(
+            col, gimg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + wd_total[...]
-        S = (total - incl_wd) + 0.0
+        ) + z[:, 0:1] * gdepth[None, :] + galpha[None, :]
+        wd = w * d
+        S = jax.lax.dot_general(
+            V_mat, wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + suf_S[...] + base_S
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = T_excl * d - S / one_minus
         gate = (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
@@ -391,11 +378,11 @@ def _bwd_kernel_chunked(n_tx: int, ts: int, m: int, d_ch: int, cnt_ref,
         ddata_ref[0, pl.ds(off, _CHUNK), :] = jnp.concatenate(
             [dmu, dcon, dop, dcol, dz], axis=-1
         )
-        logT[...] = incl[_CHUNK - 1:, :]
-        wd_total[...] = incl_wd[_CHUNK - 1:, :]
+        suf_log[...] += jnp.sum(log1m, axis=0, keepdims=True)
+        suf_S[...] += jnp.sum(wd, axis=0, keepdims=True)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, pass2, 0)
+    jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -419,6 +406,8 @@ def make_tile_compositor_chunked(n_tiles: int, m: int, d: int, ts: int,
 
     bg_spec = pl.BlockSpec((1, d), lambda t, *_: (0, 0),
                            memory_space=pltpu.VMEM)
+    logt_spec = pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel_chunked, n_tx, ts, m, d),
@@ -426,7 +415,7 @@ def make_tile_compositor_chunked(n_tiles: int, m: int, d: int, ts: int,
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[data_spec, bg_spec],
-            out_specs=(out_spec(d), out_spec(1), out_spec(1)),
+            out_specs=(out_spec(d), out_spec(1), out_spec(1), logt_spec),
             scratch_shapes=[
                 pltpu.VMEM((p, d), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),
@@ -438,6 +427,7 @@ def make_tile_compositor_chunked(n_tiles: int, m: int, d: int, ts: int,
             jax.ShapeDtypeStruct((n_tiles, p, d), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
         ),
         interpret=interpret,
     )
@@ -447,7 +437,7 @@ def make_tile_compositor_chunked(n_tiles: int, m: int, d: int, ts: int,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[data_spec, bg_spec,
+            in_specs=[data_spec, bg_spec, logt_spec,
                       out_spec(d), out_spec(1), out_spec(1)],
             out_specs=data_spec,
             scratch_shapes=[
@@ -461,15 +451,16 @@ def make_tile_compositor_chunked(n_tiles: int, m: int, d: int, ts: int,
 
     @jax.custom_vjp
     def compositor(counts, data, bg):
-        return fwd_call(counts, data, bg)
+        return fwd_call(counts, data, bg)[:3]
 
     def fwd(counts, data, bg):
-        return fwd_call(counts, data, bg), (counts, data, bg)
+        img, alpha, depth, logt = fwd_call(counts, data, bg)
+        return (img, alpha, depth), (counts, data, bg, logt)
 
     def bwd(res, g):
-        counts, data, bg = res
+        counts, data, bg, logt = res
         gimg, galpha, gdepth = g
-        ddata = bwd_call(counts, data, bg, gimg, galpha, gdepth)
+        ddata = bwd_call(counts, data, bg, logt, gimg, galpha, gdepth)
         return None, ddata, jnp.zeros_like(bg)
 
     compositor.defvjp(fwd, bwd)

@@ -16,8 +16,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from egogaussian_tpu.ops.covariance import unpack_symmetric
-
 
 class ProjectedGaussians(NamedTuple):
     means2d: jnp.ndarray  # [N, 2] pixel coordinates
@@ -69,22 +67,35 @@ def project_gaussians(
     tx = jnp.clip(t_cam[..., 0] / zs, -lim_x, lim_x) * zs
     ty = jnp.clip(t_cam[..., 1] / zs, -lim_y, lim_y) * zs
 
-    # Jacobian of perspective projection at the (clamped) point, [N, 2, 3]
-    zero = jnp.zeros_like(zs)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / zs, zero, -fx * tx / (zs * zs)], axis=-1),
-            jnp.stack([zero, fy / zs, -fy * ty / (zs * zs)], axis=-1),
-        ],
-        axis=-2,
-    )
+    # cov2d = (J R) Sigma (J R)^T expanded channel-wise. J has the sparse
+    # EWA structure [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]], so the
+    # rows of JW = J @ R are linear combinations of two rows of R with
+    # per-Gaussian scalar coefficients — everything stays [N]-vector ops
+    # (materializing [N,2,3]/[N,3,3] batched matmuls costs ~7 ms at N=100k
+    # on v5e from minor-dim padding; this form fuses into VPU passes).
+    inv_z = 1.0 / zs
+    k0 = fx * inv_z
+    k1 = -fx * tx * inv_z * inv_z
+    k2 = fy * inv_z
+    k3 = -fy * ty * inv_z * inv_z
+    w00 = k0 * R[0, 0] + k1 * R[2, 0]
+    w01 = k0 * R[0, 1] + k1 * R[2, 1]
+    w02 = k0 * R[0, 2] + k1 * R[2, 2]
+    w10 = k2 * R[1, 0] + k3 * R[2, 0]
+    w11 = k2 * R[1, 1] + k3 * R[2, 1]
+    w12 = k2 * R[1, 2] + k3 * R[2, 2]
 
-    V = unpack_symmetric(cov3d)  # [N, 3, 3]
-    JW = J @ R  # [N, 2, 3]
-    cov2d_full = JW @ V @ jnp.swapaxes(JW, -1, -2)  # [N, 2, 2]
-    a = cov2d_full[..., 0, 0] + blur
-    b = cov2d_full[..., 0, 1]
-    c = cov2d_full[..., 1, 1] + blur
+    xx, xy, xz, yy, yz, zz = (cov3d[..., i] for i in range(6))
+    # v = Sigma @ w0, u = Sigma @ w1 (channels)
+    v0 = xx * w00 + xy * w01 + xz * w02
+    v1 = xy * w00 + yy * w01 + yz * w02
+    v2 = xz * w00 + yz * w01 + zz * w02
+    u0 = xx * w10 + xy * w11 + xz * w12
+    u1 = xy * w10 + yy * w11 + yz * w12
+    u2 = xz * w10 + yz * w11 + zz * w12
+    a = w00 * v0 + w01 * v1 + w02 * v2 + blur
+    b = w10 * v0 + w11 * v1 + w12 * v2
+    c = w10 * u0 + w11 * u1 + w12 * u2 + blur
 
     det = a * c - b * b
     det_valid = det > 0.0
