@@ -97,13 +97,9 @@ def render(
         colors = _colors_from_sh(sh_coeffs, sh_degree, means3d, camera.camera_center)
 
     if backend == "auto":
-        # pallas kernels only when the per-tile capacity fits their VMEM
-        # budget (see train/common.py pick_backend)
-        backend = (
-            "pallas"
-            if tile_config is not None and tile_config.max_per_tile <= 512
-            else "tiled"
-        )
+        # stream compositor's VMEM use is occupancy-independent (see
+        # train/common.py pick_backend)
+        backend = "pallas" if tile_config is not None else "tiled"
 
     if backend == "oracle":
         out = composite_oracle(

@@ -57,6 +57,7 @@ def _cumsum_rows(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
             jax.lax.dot_general(
                 L, blk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             + carry
         )
@@ -109,6 +110,7 @@ def _fwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     img = jax.lax.dot_general(
         w, col_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
     )  # [P, D]
     t_final = jnp.exp(incl[-1:, :])  # [1, P]
     img = img + t_final.T * bg_ref[0, :][None, :]
@@ -117,6 +119,7 @@ def _fwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     depth_ref[0, :, :] = jax.lax.dot_general(
         w, z_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -144,6 +147,7 @@ def _bwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     dLdw = jax.lax.dot_general(
         col_ref[0], gimg, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
     )
     dLdw = dLdw + z_ref[0][:, 0:1] * gdepth[None, :] + galpha[None, :]
 
@@ -183,10 +187,12 @@ def _bwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     dcol_ref[0, :, :] = jax.lax.dot_general(
         w, gimg, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
     )  # [M, D]
     dz_ref[0, :, :] = jax.lax.dot_general(
         w, gdepth[:, None], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -253,16 +259,19 @@ def _fwd_kernel_chunked(n_tx: int, ts: int, m: int, d: int, cnt_ref,
         incl = jax.lax.dot_general(
             L, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         ) + logT[...]
         w = alpha * jnp.exp(incl - log1m)
         acc_img[...] += jax.lax.dot_general(
             w, col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         )
         acc_a[...] += jnp.sum(w, axis=0, keepdims=True).T
         acc_d[...] += jax.lax.dot_general(
             w, z, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         )
         logT[...] = incl[_CHUNK - 1:, :]
         return 0
@@ -336,17 +345,20 @@ def _bwd_kernel_chunked(n_tx: int, ts: int, m: int, d_ch: int, cnt_ref,
         U = jax.lax.dot_general(
             U_mat, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         ) + suf_log[...]
         T_excl = jnp.exp(logT_total - U)
         w = alpha * T_excl
         d = jax.lax.dot_general(
             col, gimg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         ) + z[:, 0:1] * gdepth[None, :] + galpha[None, :]
         wd = w * d
         S = jax.lax.dot_general(
             V_mat, wd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         ) + suf_S[...] + base_S
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = T_excl * d - S / one_minus
@@ -370,10 +382,12 @@ def _bwd_kernel_chunked(n_tx: int, ts: int, m: int, d_ch: int, cnt_ref,
         dcol = jax.lax.dot_general(
             w, gimg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         )
         dz = jax.lax.dot_general(
             w, gdepth[:, None], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         )
         ddata_ref[0, pl.ds(off, _CHUNK), :] = jnp.concatenate(
             [dmu, dcon, dop, dcol, dz], axis=-1
@@ -462,6 +476,289 @@ def make_tile_compositor_chunked(n_tiles: int, m: int, d: int, ts: int,
         gimg, galpha, gdepth = g
         ddata = bwd_call(counts, data, bg, logt, gimg, galpha, gdepth)
         return None, ddata, jnp.zeros_like(bg)
+
+    compositor.defvjp(fwd, bwd)
+    return compositor
+
+
+# ---------------------------------------------------------------------------
+# Stream compositor: ONE flat grid over chunk-aligned pair slots instead of a
+# [tiles, max_per_tile] window matrix. Each tile's (depth-ordered) pair run is
+# padded to a _CHUNK multiple in a flat [PC, ch] array; grid step c composites
+# chunk c into its owning tile's output block (output BlockSpec indexed by the
+# scalar-prefetched chunk->tile map — the flash-attention revisiting pattern,
+# with transmittance/suffix state carried in scratch between steps of the same
+# tile). vs the window design this removes the [T, M, ch] gather (~24 MB
+# written+read per frame at 480p plus its scatter-add VJP, ~12 ms of a 33 ms
+# train step) and makes per-tile work exactly occupancy-proportional.
+# ---------------------------------------------------------------------------
+
+
+def _stream_fwd_kernel(n_tx: int, ts: int, n_slots: int, d: int, meta_ref,
+                       vals_ref, bg_ref,
+                       img_ref, alpha_ref, depth_ref, logt_ref,
+                       acc_img, acc_a, acc_d, logT):
+    c = pl.program_id(0)
+    t = meta_ref[0, c]
+    rank_off = meta_ref[1, c]
+    cnt = meta_ref[2, c]
+    first = jnp.logical_or(c == 0, meta_ref[0, jnp.maximum(c - 1, 0)] != t)
+    last = jnp.logical_or(
+        c == n_slots - 1, meta_ref[0, jnp.minimum(c + 1, n_slots - 1)] != t
+    )
+    dtype = jnp.float32
+    px, py = _pixel_coords(t, ts, n_tx, dtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+    L = _tril(_CHUNK, dtype)
+
+    @pl.when(first)
+    def _():
+        acc_img[...] = jnp.zeros_like(acc_img)
+        acc_a[...] = jnp.zeros_like(acc_a)
+        acc_d[...] = jnp.zeros_like(acc_d)
+        logT[...] = jnp.zeros_like(logT)
+
+    @pl.when(rank_off < cnt)  # skip pure-padding chunks
+    def _():
+        blk = vals_ref[...]  # [CHUNK, ch]
+        mu = blk[:, 0:2]
+        con = blk[:, 2:5]
+        op = jnp.where(row_iota + rank_off < cnt, blk[:, 5:6], 0.0)
+        col = blk[:, 6:6 + d]
+        z = blk[:, 6 + d:7 + d]
+        alpha, _, _, _, _ = _chunk_alphas(mu, con, op, px, py)
+        log1m = jnp.log1p(-alpha)
+        incl = jax.lax.dot_general(
+            L, log1m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        ) + logT[...]
+        w = alpha * jnp.exp(incl - log1m)
+        acc_img[...] += jax.lax.dot_general(
+            w, col, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        )
+        acc_a[...] += jnp.sum(w, axis=0, keepdims=True).T
+        acc_d[...] += jax.lax.dot_general(
+            w, z, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        )
+        logT[...] = incl[_CHUNK - 1:, :]
+
+    @pl.when(last)
+    def _():
+        t_final = jnp.exp(logT[...])  # [1, P]
+        img_ref[0, :, :] = acc_img[...] + t_final.T * bg_ref[0, :][None, :]
+        alpha_ref[0, :, :] = acc_a[...]
+        depth_ref[0, :, :] = acc_d[...]
+        logt_ref[0, :, :] = logT[...]
+
+
+def _stream_bwd_kernel(n_tx: int, ts: int, n_slots: int, d: int, meta_ref,
+                       vals_ref, bg_ref, logt_ref,
+                       gimg_ref, galpha_ref, gdepth_ref,
+                       dvals_ref,
+                       suf_log, suf_S):
+    """Reverse-order single sweep over the chunk stream (see
+    _bwd_kernel_chunked's docstring for the suffix algebra)."""
+    s = pl.program_id(0)
+    c = n_slots - 1 - s
+    t = meta_ref[0, c]
+    rank_off = meta_ref[1, c]
+    cnt = meta_ref[2, c]
+    # first chunk processed for this tile == the tile's LAST chunk
+    first = jnp.logical_or(
+        s == 0, meta_ref[0, jnp.minimum(c + 1, n_slots - 1)] != t
+    )
+    dtype = jnp.float32
+    px, py = _pixel_coords(t, ts, n_tx, dtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1)
+    U_mat = (cols_i >= rows).astype(dtype)
+    V_mat = (cols_i > rows).astype(dtype)
+
+    @pl.when(first)
+    def _():
+        suf_log[...] = jnp.zeros_like(suf_log)
+        suf_S[...] = jnp.zeros_like(suf_S)
+
+    dvals_ref[...] = jnp.zeros_like(dvals_ref)
+
+    @pl.when(rank_off < cnt)
+    def _():
+        gimg = gimg_ref[0]  # [P, D]
+        galpha = galpha_ref[0][:, 0]
+        gdepth = gdepth_ref[0][:, 0]
+        bg = bg_ref[0, :]
+        logT_total = logt_ref[0]  # [1, P]
+        base_S = jnp.exp(logT_total) * jnp.sum(
+            gimg * bg[None, :], axis=-1
+        )[None, :]
+
+        blk = vals_ref[...]
+        mu = blk[:, 0:2]
+        con = blk[:, 2:5]
+        op = jnp.where(row_iota + rank_off < cnt, blk[:, 5:6], 0.0)
+        col = blk[:, 6:6 + d]
+        z = blk[:, 6 + d:7 + d]
+        alpha, raw, power, dx, dy = _chunk_alphas(mu, con, op, px, py)
+        log1m = jnp.log1p(-alpha)
+        U = jax.lax.dot_general(
+            U_mat, log1m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        ) + suf_log[...]
+        T_excl = jnp.exp(logT_total - U)
+        w = alpha * T_excl
+        dld = jax.lax.dot_general(
+            col, gimg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        ) + z[:, 0:1] * gdepth[None, :] + galpha[None, :]
+        wd = w * dld
+        S = jax.lax.dot_general(
+            V_mat, wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        ) + suf_S[...] + base_S
+        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = T_excl * dld - S / one_minus
+        gate = (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
+        dalpha = jnp.where(gate, dalpha, 0.0)
+        dpower = raw * dalpha
+        a, b, cc = con[:, 0:1], con[:, 1:2], con[:, 2:3]
+        ddx = (-(a * dx + b * dy)) * dpower
+        ddy = (-(cc * dy + b * dx)) * dpower
+        dmu = jnp.stack(
+            [-jnp.sum(ddx, axis=1), -jnp.sum(ddy, axis=1)], axis=-1
+        )
+        dcon = jnp.stack(
+            [
+                jnp.sum(-0.5 * dx * dx * dpower, axis=1),
+                jnp.sum(-dx * dy * dpower, axis=1),
+                jnp.sum(-0.5 * dy * dy * dpower, axis=1),
+            ],
+            axis=-1,
+        )
+        dop = jnp.sum(jnp.exp(power) * dalpha, axis=1, keepdims=True)
+        dop = jnp.where(row_iota + rank_off < cnt, dop, 0.0)
+        dcol = jax.lax.dot_general(
+            w, gimg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        )
+        dz = jax.lax.dot_general(
+            w, gdepth[:, None], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        )
+        dvals_ref[...] = jnp.concatenate([dmu, dcon, dop, dcol, dz], axis=-1)
+        suf_log[...] += jnp.sum(log1m, axis=0, keepdims=True)
+        suf_S[...] += jnp.sum(wd, axis=0, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def make_stream_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
+                           n_tx: int, interpret: bool = False):
+    """Build the stream compositor for (chunk-slot count, tiles, channels,
+    tile size) — cached per config.
+
+    Args of the returned fn:
+      meta [3, n_slots] i32: rows = (owning tile, rank offset of the chunk's
+        first row within the tile, tile's pair count)
+      vals [n_slots*_CHUNK, 7+D] packed pair data (mu|con|op|col|z)
+      bg [1, D]
+    Returns: img [T, P, D], alpha [T, P, 1], depth [T, P, 1]. Output blocks
+    of tiles that own no chunk are UNWRITTEN (caller masks empty tiles).
+    """
+    p = ts * ts
+    ch = 7 + d
+
+    vals_spec = pl.BlockSpec((_CHUNK, ch), lambda s, *_: (s, 0),
+                             memory_space=pltpu.VMEM)
+    vals_spec_rev = pl.BlockSpec((_CHUNK, ch),
+                                 lambda s, *_: (n_slots - 1 - s, 0),
+                                 memory_space=pltpu.VMEM)
+    bg_spec = pl.BlockSpec((1, d), lambda s, *_: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def tile_out_spec(c_):
+        return pl.BlockSpec((1, p, c_), lambda s, meta: (meta[0, s], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_out_spec_rev(c_):
+        return pl.BlockSpec(
+            (1, p, c_), lambda s, meta: (meta[0, n_slots - 1 - s], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    logt_spec = pl.BlockSpec((1, 1, p), lambda s, meta: (meta[0, s], 0, 0),
+                             memory_space=pltpu.VMEM)
+    logt_spec_rev = pl.BlockSpec(
+        (1, 1, p), lambda s, meta: (meta[0, n_slots - 1 - s], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_stream_fwd_kernel, n_tx, ts, n_slots, d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_slots,),
+            in_specs=[vals_spec, bg_spec],
+            out_specs=(tile_out_spec(d), tile_out_spec(1), tile_out_spec(1),
+                       logt_spec),
+            scratch_shapes=[
+                pltpu.VMEM((p, d), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, p, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_stream_bwd_kernel, n_tx, ts, n_slots, d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_slots,),
+            in_specs=[vals_spec_rev, bg_spec, logt_spec_rev,
+                      tile_out_spec_rev(d), tile_out_spec_rev(1),
+                      tile_out_spec_rev(1)],
+            out_specs=pl.BlockSpec((_CHUNK, ch),
+                                   lambda s, *_: (n_slots - 1 - s, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_slots * _CHUNK, ch), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def compositor(meta, vals, bg):
+        return fwd_call(meta, vals, bg)[:3]
+
+    def fwd(meta, vals, bg):
+        img, alpha, depth, logt = fwd_call(meta, vals, bg)
+        return (img, alpha, depth), (meta, vals, bg, logt)
+
+    def bwd(res, g):
+        meta, vals, bg, logt = res
+        gimg, galpha, gdepth = g
+        dvals = bwd_call(meta, vals, bg, logt, gimg, galpha, gdepth)
+        return None, dvals, jnp.zeros_like(bg)
 
     compositor.defvjp(fwd, bwd)
     return compositor

@@ -43,7 +43,9 @@ class TileConfig:
 def _default_config(n: int, config: Optional[TileConfig]) -> TileConfig:
     config = config or TileConfig()
     if config.max_pairs is None:
-        config = dataclasses.replace(config, max_pairs=max(16 * n, 4096))
+        mp = max(16 * n, 4096)
+        mp = -(-mp // 128) * 128  # stream compositor needs a _CHUNK multiple
+        config = dataclasses.replace(config, max_pairs=mp)
     return config
 
 
@@ -85,7 +87,6 @@ def estimate_tile_config(
     y1 = np.clip(np.floor((mu[:, 1] + r) / ts), 0, n_ty - 1)
     cnt = np.where(ok, (x1 - x0 + 1) * (y1 - y0 + 1), 0).astype(np.int64)
     total = int(cnt.sum())
-    max_pairs = _next_pow2(max(int(total * headroom), 4096))
 
     # per-tile occupancy via 2D inclusion-exclusion + prefix sums (one
     # np.add.at pass instead of a python loop over gaussians)
@@ -104,6 +105,11 @@ def estimate_tile_config(
     occ = tile_cnt[tile_cnt > 0]
     p_occ = float(np.percentile(occ, 99.5)) if occ.size else 0.0
     max_per_tile = min(_next_pow2(max(int(p_occ * headroom), 128)), 4096)
+    # The stream compositor lays tiles out chunk-padded in the same
+    # max_pairs-capacity array: size for the padded total too.
+    ch = 128  # pallas_raster._CHUNK
+    padded_total = int((-(-np.minimum(tile_cnt, max_per_tile) // ch) * ch).sum())
+    max_pairs = _next_pow2(max(int(max(total, padded_total) * headroom), 4096))
     return TileConfig(
         tile_size=ts, max_pairs=max_pairs, max_per_tile=max_per_tile
     )
@@ -326,13 +332,19 @@ def composite_pallas(
     config: Optional[TileConfig] = None,
     interpret: Optional[bool] = None,
 ) -> RenderOutput:
-    """Same semantics as composite_tiled, but the per-tile compositing runs
-    in the fused Pallas kernel pair (render/pallas_raster.py). Binning and
-    the per-tile gathers stay in XLA so their VJPs (scatter-adds back to the
-    N-Gaussian arrays) come for free."""
+    """Same semantics as composite_tiled, but compositing runs in the fused
+    Pallas stream-compositor pair (render/pallas_raster.py). The flat sorted
+    pair array is laid out with each tile's run padded to a _CHUNK multiple;
+    one grid step composites one chunk into its owning tile's output block.
+
+    Binning and the (single) pair gather stay in XLA so their VJPs
+    (scatter-adds back to the N-Gaussian arrays) come for free; per-slot
+    tile/rank/start streams are built scatter-free with the same
+    tiny-scatter + cummax trick as pair expansion (every scattered stream —
+    starts, padded starts, tile index — is nondecreasing in tile id, and the
+    owner of a padded slot run is the max colliding tile id)."""
     from egogaussian_tpu.render.pallas_raster import (
-        make_tile_compositor,
-        make_tile_compositor_chunked,
+        make_stream_compositor,
         _CHUNK,
     )
 
@@ -341,16 +353,27 @@ def composite_pallas(
     config = _default_config(n, config)
     ts = config.tile_size
 
-    # NOTE: a scatter-into-[T*M] layout (one max_pairs-row scatter per field
-    # instead of T*M-row gathers) was tried and measured SLOWER on TPU v5e
-    # (80 ms vs 60 ms fwd) — XLA scatters serialize; gathers don't. The win
-    # is MINIMIZING GATHERED ROWS (~9 ns/row regardless of width): pack all
-    # 7+D channels once, then a single [N]->[pairs]->[T*M] gather chain.
     order, g_sorted, _, starts, tile_cnt, (n_tx, n_ty) = bin_pairs(
         proj, width, height, config
     )
-    m = config.max_per_tile
     n_tiles = n_tx * n_ty
+    pc = config.max_pairs  # chunk-slot capacity (shared with pair capacity)
+    n_slots = pc // _CHUNK
+
+    padded_cnt = ((tile_cnt + _CHUNK - 1) // _CHUNK) * _CHUNK
+    starts2 = jnp.cumsum(padded_cnt) - padded_cnt  # padded-layout starts
+
+    def stream(vals_t):
+        # per-slot value of the owning tile: scatter at the tile's padded
+        # start, take running max (all streams nondecreasing in tile id)
+        buf = jnp.zeros((pc,), jnp.int32).at[starts2].max(vals_t, mode="drop")
+        return jax.lax.cummax(buf)
+
+    q = jnp.arange(pc, dtype=jnp.int32)
+    a_q = stream(starts)  # starts[owner(q)]
+    b_q = stream(starts2)  # starts2[owner(q)]
+    t_q = stream(jnp.arange(n_tiles, dtype=jnp.int32))
+    p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
 
     packed = jnp.concatenate(
         [
@@ -362,28 +385,23 @@ def composite_pallas(
         ],
         axis=1,
     )[order]
-    pairs = packed[g_sorted]  # [max_pairs, 7+D]
-    m_idx = jnp.arange(m, dtype=jnp.int32)
-    gather_pos = jnp.clip(starts[:, None] + m_idx[None, :], 0, config.max_pairs - 1)
-    data_t = pairs[gather_pos]  # [T, M, 7+D]
+    vals = packed[g_sorted[p_q]]  # [PC, 7+D]
+
+    t_chunk = t_q[::_CHUNK]
+    rank_off = q[::_CHUNK] - b_q[::_CHUNK]
+    meta = jnp.stack([t_chunk, rank_off, tile_cnt[t_chunk]])
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if m % _CHUNK == 0:
-        compositor = make_tile_compositor_chunked(
-            n_tiles, m, d, ts, n_tx, interpret=interpret
-        )
-        img_t, alpha_t, depth_t = compositor(tile_cnt, data_t, bg[None, :])
-    else:
-        tile_mask = m_idx[None, :] < tile_cnt[:, None]
-        compositor = make_tile_compositor(
-            n_tiles, m, d, ts, n_tx, interpret=interpret
-        )
-        img_t, alpha_t, depth_t = compositor(
-            data_t[..., 0:2], data_t[..., 2:5],
-            jnp.where(tile_mask, data_t[..., 5], 0.0)[..., None],
-            data_t[..., 6:6 + d], data_t[..., 6 + d:7 + d], bg[None, :]
-        )
+    compositor = make_stream_compositor(
+        n_slots, n_tiles, d, ts, n_tx, interpret=interpret
+    )
+    img_t, alpha_t, depth_t = compositor(meta, vals, bg[None, :])
+    # tiles owning no chunk are never written by the kernel
+    empty = (tile_cnt == 0)[:, None, None]
+    img_t = jnp.where(empty, bg[None, None, :], img_t)
+    alpha_t = jnp.where(empty, 0.0, alpha_t)
+    depth_t = jnp.where(empty, 0.0, depth_t)
     image = _untile(img_t, n_tx, n_ty, ts, width, height)
     alpha = _untile(alpha_t, n_tx, n_ty, ts, width, height)
     depth = _untile(depth_t, n_tx, n_ty, ts, width, height)

@@ -118,12 +118,14 @@ def render_gaussians(
 
 
 def pick_backend(tile_config, backend: str = "auto") -> str:
-    """Resolve backend="auto": the fused Pallas kernels win on fwd+bwd (no
-    [M, P] HBM intermediates) but their backward needs ~12 (M, P) f32 VMEM
-    buffers — only safe for max_per_tile <= 512 on a 16 MB-VMEM core."""
+    """Resolve backend="auto": the Pallas stream compositor processes pairs
+    in fixed 128-row chunks, so its VMEM footprint is independent of per-tile
+    occupancy — it is the right choice whenever binning capacities are known
+    (tile_config present). Without a tile_config the XLA tiled path sizes
+    itself from defaults."""
     if backend != "auto":
         return backend
-    if tile_config is not None and tile_config.max_per_tile <= 512:
+    if tile_config is not None:
         return "pallas"
     return "tiled"
 
