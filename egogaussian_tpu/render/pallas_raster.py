@@ -110,7 +110,7 @@ def _fwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     img = jax.lax.dot_general(
         w, col_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [P, D]
     t_final = jnp.exp(incl[-1:, :])  # [1, P]
     img = img + t_final.T * bg_ref[0, :][None, :]
@@ -119,7 +119,7 @@ def _fwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     depth_ref[0, :, :] = jax.lax.dot_general(
         w, z_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -147,7 +147,7 @@ def _bwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     dLdw = jax.lax.dot_general(
         col_ref[0], gimg, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dLdw = dLdw + z_ref[0][:, 0:1] * gdepth[None, :] + galpha[None, :]
 
@@ -187,12 +187,12 @@ def _bwd_kernel(n_tx: int, ts: int, mu_ref, con_ref, op_ref, col_ref, z_ref,
     dcol_ref[0, :, :] = jax.lax.dot_general(
         w, gimg, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [M, D]
     dz_ref[0, :, :] = jax.lax.dot_general(
         w, gdepth[:, None], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -259,19 +259,19 @@ def _fwd_kernel_chunked(n_tx: int, ts: int, m: int, d: int, cnt_ref,
         incl = jax.lax.dot_general(
             L, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + logT[...]
         w = alpha * jnp.exp(incl - log1m)
         acc_img[...] += jax.lax.dot_general(
             w, col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         acc_a[...] += jnp.sum(w, axis=0, keepdims=True).T
         acc_d[...] += jax.lax.dot_general(
             w, z, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         logT[...] = incl[_CHUNK - 1:, :]
         return 0
@@ -345,20 +345,20 @@ def _bwd_kernel_chunked(n_tx: int, ts: int, m: int, d_ch: int, cnt_ref,
         U = jax.lax.dot_general(
             U_mat, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + suf_log[...]
         T_excl = jnp.exp(logT_total - U)
         w = alpha * T_excl
         d = jax.lax.dot_general(
             col, gimg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + z[:, 0:1] * gdepth[None, :] + galpha[None, :]
         wd = w * d
         S = jax.lax.dot_general(
             V_mat, wd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + suf_S[...] + base_S
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = T_excl * d - S / one_minus
@@ -382,12 +382,12 @@ def _bwd_kernel_chunked(n_tx: int, ts: int, m: int, d_ch: int, cnt_ref,
         dcol = jax.lax.dot_general(
             w, gimg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dz = jax.lax.dot_general(
             w, gdepth[:, None], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         ddata_ref[0, pl.ds(off, _CHUNK), :] = jnp.concatenate(
             [dmu, dcon, dop, dcol, dz], axis=-1
@@ -531,19 +531,19 @@ def _stream_fwd_kernel(n_tx: int, ts: int, n_slots: int, d: int, meta_ref,
         incl = jax.lax.dot_general(
             L, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + logT[...]
         w = alpha * jnp.exp(incl - log1m)
         acc_img[...] += jax.lax.dot_general(
             w, col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         acc_a[...] += jnp.sum(w, axis=0, keepdims=True).T
         acc_d[...] += jax.lax.dot_general(
             w, z, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         logT[...] = incl[_CHUNK - 1:, :]
 
@@ -609,20 +609,20 @@ def _stream_bwd_kernel(n_tx: int, ts: int, n_slots: int, d: int, meta_ref,
         U = jax.lax.dot_general(
             U_mat, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + suf_log[...]
         T_excl = jnp.exp(logT_total - U)
         w = alpha * T_excl
         dld = jax.lax.dot_general(
             col, gimg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + z[:, 0:1] * gdepth[None, :] + galpha[None, :]
         wd = w * dld
         S = jax.lax.dot_general(
             V_mat, wd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         ) + suf_S[...] + base_S
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = T_excl * dld - S / one_minus
@@ -648,12 +648,12 @@ def _stream_bwd_kernel(n_tx: int, ts: int, n_slots: int, d: int, meta_ref,
         dcol = jax.lax.dot_general(
             w, gimg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dz = jax.lax.dot_general(
             w, gdepth[:, None], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dvals_ref[...] = jnp.concatenate([dmu, dcon, dop, dcol, dz], axis=-1)
         suf_log[...] += jnp.sum(log1m, axis=0, keepdims=True)
