@@ -121,6 +121,7 @@ def run_pipeline(
         bg_model = train_background(
             cameras, scene.points, scene.colors, cfg, all_train_idx, extent,
             save_dir=bg_dir, seed=seed, backend=backend,
+            checkpoint_every=checkpoint_every,
         )
         bg_model = dataclasses.replace(bg_model, spatial_lr_scale=extent)
 
@@ -136,6 +137,7 @@ def run_pipeline(
         pose_seq, coarse_model, _ = estimate_coarse_obj_pose(
             cameras, obj_model, cfg, static_groups, dynamic_groups, extent,
             save_dir=coarse_dir, seed=seed, backend=backend,
+            checkpoint_every=checkpoint_every,
         )
 
     # ---- Stage 3: fine-tune object (two variants like the reference) ----
@@ -155,7 +157,7 @@ def run_pipeline(
             seq_v, model_v = fine_tune_obj(
                 cameras, base_model, pose_seq, cfg, static_groups,
                 dynamic_groups, extent, save_dir=fdir, seed=seed,
-                backend=backend,
+                backend=backend, checkpoint_every=checkpoint_every,
             )
         fine_results[variant] = (seq_v, model_v)
 
@@ -192,7 +194,7 @@ def run_pipeline(
         final_model = fine_tune_all(
             cameras, obj_final, bg_model, seq_final, cfg,
             static_groups, dynamic_groups, save_dir=fine_all_dir,
-            seed=seed, backend=backend,
+            seed=seed, backend=backend, checkpoint_every=checkpoint_every,
         )
 
     # ---- Stage 6: evaluation ----

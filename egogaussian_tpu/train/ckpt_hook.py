@@ -25,15 +25,19 @@ class StageCheckpointer:
         """path=None or every=0 disables checkpointing entirely."""
         self.path = path
         self.every = every
+        self.extra: Any = None
 
     def maybe_save(self, it: int, state: Any, rng: np.random.RandomState,
-                   key: jax.Array) -> None:
+                   key: jax.Array, extra: Any = None) -> None:
+        """`extra`: optional picklable host-side payload (e.g. the coarse
+        stage's solved-frame names) restored verbatim by try_restore."""
         if not self.path or not self.every or it % self.every:
             return
         save_train_state(self.path, state)
         with open(self.path + ".host", "wb") as f:
             pickle.dump(
-                {"it": it, "rng": rng.get_state(), "key": np.asarray(key)}, f
+                {"it": it, "rng": rng.get_state(), "key": np.asarray(key),
+                 "extra": extra}, f
             )
         os.replace(self.path + ".host", self.path + ".rng")
 
@@ -52,7 +56,9 @@ class StageCheckpointer:
         self, state_like: Any, rng: np.random.RandomState, key: jax.Array
     ) -> Tuple[Any, int, jax.Array]:
         """Returns (state, start_iteration, key); start_iteration = 0 when no
-        checkpoint exists. Restores the host RNG in place."""
+        checkpoint exists. Restores the host RNG in place. The extra payload
+        (if saved) is available as `self.extra` afterwards."""
+        self.extra = None
         if not self.path or not os.path.exists(self.path):
             return state_like, 0, key
         host_path = self.path + ".rng"
@@ -62,6 +68,7 @@ class StageCheckpointer:
         with open(host_path, "rb") as f:
             host = pickle.load(f)
         rng.set_state(host["rng"])
+        self.extra = host.get("extra")
         import jax.numpy as jnp
 
         CONSOLE.log(f"[ckpt] resuming stage from iteration {host['it']}")

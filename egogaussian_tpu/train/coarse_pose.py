@@ -221,9 +221,17 @@ def estimate_coarse_obj_pose(
     save_dir: Optional[str] = None,
     seed: int = 0,
     backend: str = "auto",
+    checkpoint_every: int = 0,
 ) -> Tuple[PoseSequence, GaussianModel, Dict[int, str]]:
     """Stage 2. Returns (pose_sequence over all cameras, refined object
-    model, {camera_index: image_name} for solved frames)."""
+    model, {camera_index: image_name} for solved frames).
+
+    checkpoint_every > 0 enables FRAME-granular mid-stage resume: after
+    each solved frame (30k iters in the reference schedule) the
+    (model, pose_seq) state plus host RNG/solved-set snapshot to
+    ckpt_coarse.npz, and a fresh call skips already-solved frames. (The
+    reference's equivalent is its per-frame atomic pose save + manual
+    uncomment-to-resume, coarse_obj_pose.py:19-28, train.py:122.)"""
     rng = np.random.RandomState(seed)
     cp = cfg.coarse
     model = obj_model
@@ -234,6 +242,30 @@ def estimate_coarse_obj_pose(
     pose_seq = empty_pose_sequence(F)
     solved_names: Dict[int, str] = {}
 
+    from egogaussian_tpu.train.ckpt_hook import StageCheckpointer
+
+    ckpt = StageCheckpointer(
+        os.path.join(save_dir, "ckpt_coarse.npz")
+        if save_dir and checkpoint_every else None,
+        # any nonzero value saves after every solved frame
+        1 if checkpoint_every else 0,
+    )
+    if ckpt.exists():
+        cap = ckpt.peek_capacity()
+        opt_tmp = adam_init(model.params)
+        while model.capacity < cap:
+            model, opt_tmp, _ = ensure_capacity(
+                model, opt_tmp, min_free=model.capacity + 1
+            )
+        key_dummy = jax.random.PRNGKey(0)
+        (model, pose_seq), _, _ = ckpt.try_restore(
+            (model, pose_seq), rng, key_dummy
+        )
+        solved_names = dict(ckpt.extra or {})
+        tile_cfg = auto_tile_config(model, batch.camera(0))
+        backend = pick_backend(tile_cfg, backend)
+        CONSOLE.log(f"[coarse] resume: {len(solved_names)} frames solved")
+
     for phase, dyn_frames in enumerate(dynamic_phase_frames):
         # append first frame of the next static phase (coarse_obj_pose.py:137)
         frames = list(dyn_frames) + [static_phase_frames[phase + 1][0]]
@@ -242,6 +274,8 @@ def estimate_coarse_obj_pose(
             f"({len(frames)} incl. next-static anchor)"
         )
         for i, f_cur in enumerate(frames):
+            if f_cur in solved_names:
+                continue  # frame-granular resume: already solved
             # fixed accumulated transform up to the previous frame
             accum_T = np.asarray(pose_seq.accum_T())
             accum_R = np.asarray(pose_seq.accum_R())
@@ -345,6 +379,10 @@ def estimate_coarse_obj_pose(
                         )
 
             solved_names[f_cur] = cameras[f_cur].image_name
+            ckpt.maybe_save(
+                len(solved_names), (model, pose_seq), rng,
+                jax.random.PRNGKey(0), extra=dict(solved_names),
+            )
             CONSOLE.log(
                 f"[coarse] solved frame {cameras[f_cur].image_name} "
                 f"({i+1}/{len(frames)}), loss {float(loss):.4f}"

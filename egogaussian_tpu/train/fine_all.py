@@ -109,6 +109,7 @@ def fine_tune_all(
     save_dir: Optional[str] = None,
     seed: int = 0,
     backend: str = "auto",
+    checkpoint_every: int = 0,
 ) -> GaussianModel:
     rng = np.random.RandomState(seed)
     ap = cfg.fine_all
@@ -127,12 +128,28 @@ def fine_tune_all(
     backend = pick_backend(tile_cfg, backend)
     accum_T = np.asarray(pose_seq.accum_T())
     accum_R = np.asarray(pose_seq.accum_R())
+
+    # mid-stage checkpoint/resume (iteration-granular; no densification in
+    # this stage so the capacity is fixed by combine_models and the saved
+    # state restores into the freshly-combined model's shapes)
+    from egogaussian_tpu.train.ckpt_hook import StageCheckpointer
+
+    ckpt = StageCheckpointer(
+        os.path.join(save_dir, "ckpt_fine_all.npz")
+        if save_dir and checkpoint_every else None,
+        checkpoint_every,
+    )
+    start_it = 0
+    if ckpt.exists():
+        (model, opt_state), start_it, _ = ckpt.try_restore(
+            (model, opt_state), rng, jax.random.PRNGKey(0)
+        )
     CONSOLE.log(
         f"[fine_all] {int(model.num_alive)} gaussians, "
         f"{len(frames)} frames, {ap.total_num_iter} iters"
     )
 
-    for it in range(1, ap.total_num_iter + 1):
+    for it in range(start_it + 1, ap.total_num_iter + 1):
         if it == 1:
             cam_idx = static_phase_frames[0][0]
         else:
@@ -148,6 +165,9 @@ def fine_tune_all(
         if ap.densify_from_iter < it < ap.densify_until_iter:
             if it % ap.opacity_reset_interval:
                 model, opt_state = _reset_opacity_jit(model, opt_state)
+        ckpt.maybe_save(
+            it, (model, opt_state), rng, jax.random.PRNGKey(0)
+        )
 
     if save_dir:
         save_ply(model, os.path.join(save_dir, "gaussians_all.ply"))

@@ -81,6 +81,7 @@ def fine_tune_obj(
     save_dir: Optional[str] = None,
     seed: int = 0,
     backend: str = "auto",
+    checkpoint_every: int = 0,
 ) -> Tuple[PoseSequence, GaussianModel]:
     """Stage 3 for ONE object PLY variant. The reference driver calls this
     twice (from-static and from-coarse, fine_obj.py:49-61) and stage 5 picks
@@ -111,10 +112,31 @@ def fine_tune_obj(
     pose_opt = adam_init(ObjectPose(jnp.zeros(3), jnp.eye(3)[:, :2]))
     key = jax.random.PRNGKey(seed)
 
+    # mid-stage checkpoint/resume (iteration-granular, train/ckpt_hook.py)
+    from egogaussian_tpu.train.ckpt_hook import StageCheckpointer
+
+    ckpt = StageCheckpointer(
+        os.path.join(save_dir, "ckpt_fine_obj.npz")
+        if save_dir and checkpoint_every else None,
+        checkpoint_every,
+    )
+    start_it = 0
+    if ckpt.exists():
+        cap = ckpt.peek_capacity()
+        while model.capacity < cap:
+            model, opt_state, _ = ensure_capacity(
+                model, opt_state, min_free=model.capacity + 1
+            )
+        (model, opt_state, pose_opt, pose_seq), start_it, key = ckpt.try_restore(
+            (model, opt_state, pose_opt, pose_seq), rng, key
+        )
+        tile_cfg = auto_tile_config(model, batch.camera(0))
+        backend = pick_backend(tile_cfg, backend)
+
     accum_T = np.asarray(pose_seq.accum_T())
     accum_R = np.asarray(pose_seq.accum_R())
 
-    for it in range(1, fp.total_num_iter + 1):
+    for it in range(start_it + 1, fp.total_num_iter + 1):
         if it == 1:
             cam_idx, train_p = static_phase_frames[0][0], False
         else:
@@ -187,6 +209,9 @@ def fine_tune_obj(
                 model, opt_state = _reset_opacity_jit(
                     model, opt_state, which_object=1
                 )
+        ckpt.maybe_save(
+            it, (model, opt_state, pose_opt, pose_seq), rng, key
+        )
 
     if save_dir:
         save_pose_sequence(

@@ -224,7 +224,9 @@ def train_static(
 
         # frame sub-stack: all frames during std+entropy; rewind subset in label
         stack = list(range(len(phase_cams)))
-        if start_it > sp.std_train_iter + sp.entropy_reg_iter:
+        # >= : a checkpoint taken exactly on the entropy-end boundary has
+        # already applied the prune, so the label-phase rewind applies too
+        if start_it >= sp.std_train_iter + sp.entropy_reg_iter and start_it > 0:
             n_ph = len(static_phase_frames)
             if phase == 0:
                 stack = stack[-sp.rewind_frames:]
@@ -291,10 +293,6 @@ def train_static(
                 if it % opt_cfg.opacity_reset_interval == 0:
                     model, opt_state = _reset_opacity_jit(model, opt_state)
 
-            ckpt.maybe_save(
-                it, TrainState(model, opt_state, jnp.int32(it)), rng, key
-            )
-
             # entropy-phase end: prune + rewind (train_static.py:146-162)
             if it == sp.std_train_iter + sp.entropy_reg_iter:
                 model, opt_state, n_pruned = _prune_opacity_jit(
@@ -312,6 +310,13 @@ def train_static(
                     stack = stack[:rw]
                 else:
                     stack = stack[:rw] + stack[-rw:]
+
+            # save at the END of the iteration so a checkpoint landing on a
+            # phase boundary captures the boundary prune (the rewound frame
+            # stack is recomputed from start_it on resume)
+            ckpt.maybe_save(
+                it, TrainState(model, opt_state, jnp.int32(it)), rng, key
+            )
 
         model = model.infer_is_object_from_label()
         obj_model, bg_model = _split_by_is_object(model)
@@ -364,6 +369,7 @@ def train_background(
     seed: int = 0,
     backend: str = "auto",
     dilate_size: int = 5,
+    checkpoint_every: int = 0,
 ) -> GaussianModel:
     """Stage 1.2: background 3DGS over all phases' frames with the
     interaction mask = dilate(hand | obj) gating gradients
@@ -395,9 +401,32 @@ def train_background(
     tile_cfg = auto_tile_config(model, batch.camera(0))
     backend = pick_backend(tile_cfg, backend)
     key = jax.random.PRNGKey(seed)
+
+    # mid-stage checkpoint/resume (same hook as train_static)
+    from egogaussian_tpu.train.ckpt_hook import StageCheckpointer
+    from egogaussian_tpu.train.common import TrainState
+
+    ckpt = StageCheckpointer(
+        os.path.join(save_dir, "ckpt_bg.npz")
+        if save_dir and checkpoint_every else None,
+        checkpoint_every,
+    )
+    start_it = 0
+    if ckpt.exists():
+        cap = ckpt.peek_capacity()
+        while model.capacity < cap:
+            model, opt_state, _ = ensure_capacity(
+                model, opt_state, min_free=model.capacity + 1
+            )
+        state, start_it, key = ckpt.try_restore(
+            TrainState(model, opt_state, jnp.int32(0)), rng, key
+        )
+        model, opt_state = state.model, state.opt_state
+        tile_cfg = auto_tile_config(model, batch.camera(0))
+        backend = pick_backend(tile_cfg, backend)
     CONSOLE.log(f"[bg] {len(train_cams)} frames, {total_iters} iters")
 
-    for it in range(1, total_iters + 1):
+    for it in range(start_it + 1, total_iters + 1):
         fidx = rng.randint(len(train_cams))
         mode = "std" if it <= bp.std_train_iter else "entropy"
         lr_tree = gaussian_lr_tree(
@@ -432,6 +461,9 @@ def train_background(
                 model, opt_state, min_opacity=0.5
             )
             CONSOLE.log(f"[bg] final prune: {int(n_pruned)} removed")
+        ckpt.maybe_save(
+            it, TrainState(model, opt_state, jnp.int32(it)), rng, key
+        )
 
     if save_dir:
         save_ply(model, os.path.join(save_dir, "static_bg.ply"))

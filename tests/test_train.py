@@ -313,3 +313,168 @@ class TestMidStageCheckpoint:
             np.asarray(r_res[0].model.params.label),
             np.asarray(r_full[0].model.params.label), atol=1e-5,
         )
+
+    def test_bg_resume_reproduces_run(self, video, tmp_path):
+        """Same contract as the static test for the background stage."""
+        cfg = tiny_config()
+        idxs = list(range(len(video.cameras)))
+
+        d_full = str(tmp_path / "full")
+        m_full = train_background(
+            video.cameras, video.points, video.colors, cfg, idxs, 4.0,
+            save_dir=d_full, checkpoint_every=31,
+        )
+
+        d_res = str(tmp_path / "resumed")
+        cfg_half = tiny_config()
+        cfg_half.static_bg = dataclasses.replace(
+            cfg_half.static_bg, std_train_iter=40, entropy_reg_iter=0,
+        )
+        train_background(
+            video.cameras, video.points, video.colors, cfg_half, idxs, 4.0,
+            save_dir=d_res, checkpoint_every=31,
+        )
+        m_res = train_background(
+            video.cameras, video.points, video.colors, cfg, idxs, 4.0,
+            save_dir=d_res, checkpoint_every=31,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_res.params.xyz), np.asarray(m_full.params.xyz),
+            atol=1e-5,
+        )
+
+    def test_coarse_resume_skips_solved_frames(self, video, tmp_path,
+                                               monkeypatch):
+        """Kill the coarse stage after its first solved frame (checkpoint
+        already written); a fresh call must skip that frame and land on the
+        same final state as an uninterrupted run."""
+        from egogaussian_tpu.train import coarse_pose as cp_mod
+        from egogaussian_tpu.train.coarse_pose import estimate_coarse_obj_pose
+
+        cfg = tiny_config()
+        static_groups = split_viewpoints_by_phase(
+            video.cameras, video.static_phases
+        )
+        dynamic_groups = split_viewpoints_by_phase(
+            video.cameras, video.dynamic_phases
+        )
+        obj = gt_object_model(video, capacity=128)
+
+        d_full = str(tmp_path / "full")
+        seq_full, m_full, solved_full = estimate_coarse_obj_pose(
+            video.cameras, obj, cfg, static_groups, dynamic_groups, 4.0,
+            save_dir=d_full, checkpoint_every=1,
+        )
+
+        # interrupted run: die on the first per-frame pose save (which
+        # happens right after the frame's checkpoint is written)
+        d_res = str(tmp_path / "resumed")
+        real_save = cp_mod.save_pose_sequence
+        calls = {"n": 0}
+
+        def dying_save(*a, **k):
+            calls["n"] += 1
+            real_save(*a, **k)
+            if calls["n"] == 1:
+                raise KeyboardInterrupt
+
+        monkeypatch.setattr(cp_mod, "save_pose_sequence", dying_save)
+        with pytest.raises(KeyboardInterrupt):
+            estimate_coarse_obj_pose(
+                video.cameras, obj, cfg, static_groups, dynamic_groups, 4.0,
+                save_dir=d_res, checkpoint_every=1,
+            )
+        monkeypatch.setattr(cp_mod, "save_pose_sequence", real_save)
+
+        seq_res, m_res, solved_res = estimate_coarse_obj_pose(
+            video.cameras, obj, cfg, static_groups, dynamic_groups, 4.0,
+            save_dir=d_res, checkpoint_every=1,
+        )
+        assert solved_res == solved_full
+        np.testing.assert_allclose(
+            np.asarray(seq_res.translations), np.asarray(seq_full.translations),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_res.params.xyz), np.asarray(m_full.params.xyz),
+            atol=1e-5,
+        )
+
+    def test_fine_obj_resume_reproduces_run(self, video, tmp_path):
+        from egogaussian_tpu.models.pose import empty_pose_sequence, identity_pose
+        from egogaussian_tpu.train.fine_obj import fine_tune_obj
+
+        cfg = tiny_config()
+        static_groups = split_viewpoints_by_phase(
+            video.cameras, video.static_phases
+        )
+        dynamic_groups = split_viewpoints_by_phase(
+            video.cameras, video.dynamic_phases
+        )
+        obj = gt_object_model(video, capacity=128)
+        seq = empty_pose_sequence(len(video.cameras))
+        for g in dynamic_groups:
+            for f in g:
+                seq = seq.update_frame(f, identity_pose())
+
+        d_full = str(tmp_path / "full")
+        seq_full, m_full = fine_tune_obj(
+            video.cameras, obj, seq, cfg, static_groups, dynamic_groups, 4.0,
+            save_dir=d_full, checkpoint_every=13,
+        )
+
+        d_res = str(tmp_path / "resumed")
+        cfg_half = tiny_config()
+        cfg_half.fine = dataclasses.replace(cfg_half.fine, total_num_iter=15)
+        fine_tune_obj(
+            video.cameras, obj, seq, cfg_half, static_groups, dynamic_groups,
+            4.0, save_dir=d_res, checkpoint_every=13,
+        )
+        seq_res, m_res = fine_tune_obj(
+            video.cameras, obj, seq, cfg, static_groups, dynamic_groups, 4.0,
+            save_dir=d_res, checkpoint_every=13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_res.params.xyz), np.asarray(m_full.params.xyz),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(seq_res.translations), np.asarray(seq_full.translations),
+            atol=1e-5,
+        )
+
+    def test_fine_all_resume_reproduces_run(self, video, tmp_path):
+        from egogaussian_tpu.models.pose import empty_pose_sequence
+
+        cfg = tiny_config()
+        obj = gt_object_model(video, capacity=128)
+        bg_pts = video.gt_means[~video.gt_is_object]
+        bg_cols = video.colors[~video.gt_is_object]
+        bg = from_points(bg_pts, bg_cols, capacity=256)
+        static_groups = split_viewpoints_by_phase(video.cameras, video.static_phases)
+        dynamic_groups = split_viewpoints_by_phase(video.cameras, video.dynamic_phases)
+        seq = empty_pose_sequence(len(video.cameras))
+
+        d_full = str(tmp_path / "full")
+        m_full = fine_tune_all(
+            video.cameras, obj, bg, seq, cfg, static_groups, dynamic_groups,
+            save_dir=d_full, checkpoint_every=11,
+        )
+
+        d_res = str(tmp_path / "resumed")
+        cfg_half = tiny_config()
+        cfg_half.fine_all = dataclasses.replace(
+            cfg_half.fine_all, total_num_iter=12
+        )
+        fine_tune_all(
+            video.cameras, obj, bg, seq, cfg_half, static_groups,
+            dynamic_groups, save_dir=d_res, checkpoint_every=11,
+        )
+        m_res = fine_tune_all(
+            video.cameras, obj, bg, seq, cfg, static_groups, dynamic_groups,
+            save_dir=d_res, checkpoint_every=11,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_res.params.xyz), np.asarray(m_full.params.xyz),
+            atol=1e-5,
+        )
