@@ -677,11 +677,17 @@ def make_stream_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
     p = ts * ts
     ch = 7 + d
 
-    vals_spec = pl.BlockSpec((_CHUNK, ch), lambda s, *_: (s, 0),
-                             memory_space=pltpu.VMEM)
-    vals_spec_rev = pl.BlockSpec((_CHUNK, ch),
-                                 lambda s, *_: (n_slots - 1 - s, 0),
-                                 memory_space=pltpu.VMEM)
+    # clamp to the last occupied slot (meta row 3): the padding tail of the
+    # grid then revisits one block, which Pallas doesn't re-fetch
+    vals_spec = pl.BlockSpec(
+        (_CHUNK, ch), lambda s, meta: (jnp.minimum(s, meta[3, 0]), 0),
+        memory_space=pltpu.VMEM,
+    )
+    vals_spec_rev = pl.BlockSpec(
+        (_CHUNK, ch),
+        lambda s, meta: (jnp.minimum(n_slots - 1 - s, meta[3, 0]), 0),
+        memory_space=pltpu.VMEM,
+    )
     bg_spec = pl.BlockSpec((1, d), lambda s, *_: (0, 0),
                            memory_space=pltpu.VMEM)
 

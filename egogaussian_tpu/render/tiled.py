@@ -109,7 +109,12 @@ def estimate_tile_config(
     # max_pairs-capacity array: size for the padded total too.
     ch = 128  # pallas_raster._CHUNK
     padded_total = int((-(-np.minimum(tile_cnt, max_per_tile) // ch) * ch).sum())
-    max_pairs = _next_pow2(max(int(max(total, padded_total) * headroom), 4096))
+    # Round max_pairs to a 32k multiple, NOT pow2: binning sort, the pair
+    # gather and the stream-kernel grid all scale with this capacity, and
+    # pow2 rounding on top of the headroom wastes up to 2x of each (measured
+    # 5.8 ms gather + 5.6 ms kernel at 53% padding on v5e).
+    max_pairs = max(int(max(total, padded_total) * headroom), 4096)
+    max_pairs = -(-max_pairs // 32768) * 32768
     return TileConfig(
         tile_size=ts, max_pairs=max_pairs, max_per_tile=max_per_tile
     )
@@ -389,7 +394,15 @@ def composite_pallas(
 
     t_chunk = t_q[::_CHUNK]
     rank_off = q[::_CHUNK] - b_q[::_CHUNK]
-    meta = jnp.stack([t_chunk, rank_off, tile_cnt[t_chunk]])
+    # row 3: index of the last OCCUPIED chunk slot, broadcast — the kernels
+    # clamp their vals-block index map to it so the (up to headroom x) pure-
+    # padding tail of the grid re-fetches one block instead of issuing a
+    # fresh ~5 KB DMA per step (per-step DMA latency dominates kernel time)
+    last_used = jnp.maximum(jnp.sum(padded_cnt) // _CHUNK - 1, 0)
+    meta = jnp.stack([
+        t_chunk, rank_off, tile_cnt[t_chunk],
+        jnp.full((n_slots,), last_used, jnp.int32),
+    ])
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
