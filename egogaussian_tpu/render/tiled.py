@@ -184,12 +184,20 @@ def bin_pairs(
     ty = pair_fields[:, 2] + local // tw_g
     tile_id = jnp.where(pair_ok, ty * n_tx + tx, n_tiles)  # invalid -> end
 
-    # Stable sort by tile id keeps depth order within each tile. Multi-
-    # operand lax.sort carries g along with the keys — avoids two 1.6M
-    # random gathers (~15 ms each on TPU) that argsort+take would need.
-    tile_sorted, g_sorted = jax.lax.sort(
-        (tile_id, g), num_keys=1, is_stable=True
-    )
+    # Sort by tile id keeping depth order within each tile. g is already the
+    # depth rank, so when (tile_id, g) fits in 31 bits a single packed key
+    # sorts both at once (unique keys — no stability needed) with half the
+    # data movement of the two-operand stable sort; otherwise fall back.
+    g_bits = max(1, (max(n - 1, 1)).bit_length())
+    if (n_tiles + 1).bit_length() + g_bits <= 31:
+        packed_key = (tile_id << g_bits) | g
+        packed_sorted = jax.lax.sort(packed_key)
+        tile_sorted = packed_sorted >> g_bits
+        g_sorted = packed_sorted & ((1 << g_bits) - 1)
+    else:
+        tile_sorted, g_sorted = jax.lax.sort(
+            (tile_id, g), num_keys=1, is_stable=True
+        )
 
     # Per-tile ranges: tile_sorted is sorted, so starts[t] is a vectorized
     # binary search (lower bound) — a histogram scatter-add over the pair
