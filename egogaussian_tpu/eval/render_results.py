@@ -27,10 +27,21 @@ from egogaussian_tpu.utils.console import CONSOLE
 def _save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
-    arr = (np.clip(img.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+    arr = np.round(np.clip(img.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
     if arr.shape[-1] == 1:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)
+
+
+def _quantize8(img: np.ndarray) -> np.ndarray:
+    """uint8 round-trip. The reference computes its metrics from SAVED PNGs
+    (trainers/eval_metric.py:139-161), i.e. after 8-bit quantization of both
+    render and gt; float-array metrics would be slightly optimistic vs the
+    paper's protocol."""
+    return (
+        np.round(np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8).astype(np.float32)
+        / 255.0
+    )
 
 
 def render_results(
@@ -82,9 +93,9 @@ def render_results(
             bucket = "other"
         entry = dict(
             name=name,
-            render=img,
-            gt=np.asarray(cam.gt_image),
-            hand=np.asarray(cam.hand_mask),
+            render=_quantize8(img),
+            gt=_quantize8(np.asarray(cam.gt_image)),
+            hand=_quantize8(np.asarray(cam.hand_mask)),
         )
         buckets[bucket].append(entry)
         if save_dir:

@@ -113,7 +113,11 @@ def render_multiview(
             )
             for vc in view_cams
         ]
-        monty = make_montage(panels, rows=1)
+        monty = make_montage(
+            panels,
+            captions=[f"view {i} | {cam.image_name}" for i in range(len(panels))],
+            rows=1,
+        )
         frames.append(np.asarray(monty))
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)

@@ -83,10 +83,11 @@ def make_sharded_render(
 ):
     """Jitted depth-slab sharded renderer over `axis` of `mesh`.
 
-    Returned fn(means3d, cov3d, colors, opacities, valid_mask) -> RenderOutput
-    with all Gaussian inputs replicated; each device rasterizes one slab and
-    the partials are combined with an all_gather + ordered transmittance
-    chain (D tiny FMAs on the image).
+    Returned fn(means3d, cov3d, colors, opacities, valid_mask, bg=None) ->
+    RenderOutput with all Gaussian inputs replicated; each device rasterizes
+    one slab and the partials are combined with an all_gather + ordered
+    transmittance chain (D tiny FMAs on the image). `bg` ([C]) adds the
+    docstring's (prod_k T_k) * bg term (default black).
     """
     n_slabs = mesh.shape[axis]
 
@@ -123,8 +124,11 @@ def make_sharded_render(
         out_shardings=(repl,) * 3,
     )
 
-    def render_sharded(means3d, cov3d, colors, opacities, valid_mask):
+    def render_sharded(means3d, cov3d, colors, opacities, valid_mask, bg=None):
         img, alpha, depth = fn(means3d, cov3d, colors, opacities, valid_mask)
+        if bg is not None:
+            # t_total = prod_k T_k = 1 - alpha; slab partials carry no bg
+            img = img + (1.0 - alpha) * jnp.asarray(bg)[:, None, None]
         return RenderOutput(
             image=img, alpha=alpha, depth=depth,
             radii=jnp.zeros((means3d.shape[0],), jnp.int32),

@@ -90,10 +90,16 @@ def run_pipeline(
     dynamic_groups = split_viewpoints_by_phase(cameras, dynamic_phases, training_frames)
     os.makedirs(save_dir, exist_ok=True)
 
-    # ---- Stage 1.0: static phases ----
+    # ---- Stage 1.0: static phases (EVERY phase, re-initialized per phase —
+    # reference train.py:69 + trainers/train_static.py:52; the object model
+    # passed downstream is phase 0's, but the predicted object masks come
+    # from ALL phases so stage 1.1 can complete the dataset) ----
     static_dir = os.path.join(save_dir, "static")
     obj_ply = os.path.join(static_dir, "ply", "static_phase0_obj.ply")
-    if resume and os.path.exists(obj_ply):
+    last_ply = os.path.join(
+        static_dir, "ply", f"static_phase{len(static_groups) - 1}.ply"
+    )
+    if resume and os.path.exists(obj_ply) and os.path.exists(last_ply):
         CONSOLE.log("[pipeline] resume: static stage artifacts found")
         obj_model = load_ply(obj_ply, is_object=True, spatial_lr_scale=extent)
         pred_masks = _load_pred_masks(os.path.join(static_dir, "obj_masks"))
@@ -101,14 +107,35 @@ def run_pipeline(
         static_results = train_static(
             cameras, scene.points, scene.colors, cfg, static_groups, extent,
             save_dir=static_dir, seed=seed, backend=backend,
-            first_phase_only=True, checkpoint_every=checkpoint_every,
+            checkpoint_every=checkpoint_every,
         )
         obj_model = static_results[0].obj_model
         obj_model = dataclasses.replace(obj_model, spatial_lr_scale=extent)
-        pred_masks = static_results[0].pred_masks
+        pred_masks = {}
+        for r in static_results:
+            pred_masks.update(r.pred_masks)
 
     # ---- Stage 1.1: complete object masks ----
     cameras = apply_predicted_masks(cameras, pred_masks)
+    # Completeness check (reference train.py:90 asserts every image has an
+    # obj mask after the copy): every static training frame must now carry
+    # either a shipped mask or a prediction — an all-zero mask on a static
+    # frame would make the coarse stage's next-static anchor loss silently
+    # train against gt*0.
+    missing = [
+        cameras[i].image_name
+        for g in static_groups
+        for i in g
+        if cameras[i].image_name not in pred_masks
+        and (
+            cameras[i].obj_mask is None
+            or float(np.asarray(cameras[i].obj_mask).sum()) == 0
+        )
+    ]
+    assert not missing, (
+        f"stage 1.1: {len(missing)} static frames have no object mask "
+        f"(shipped or predicted): {missing[:5]}"
+    )
 
     # ---- Stage 1.2: background ----
     bg_dir = os.path.join(save_dir, "background")

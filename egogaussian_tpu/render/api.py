@@ -29,6 +29,9 @@ class RenderResult(NamedTuple):
     depth: jnp.ndarray  # [1, H, W]
     radii: jnp.ndarray  # [N] int32; >0 == the reference's visibility_filter
     means2d: jnp.ndarray  # [N, 2] projected screen means
+    # scalar i32: pairs silently dropped by the binned backends' static
+    # capacities this render (0 == exact; trainers log the running max)
+    dropped_pairs: jnp.ndarray = 0
 
 
 def _colors_from_sh(
@@ -128,6 +131,7 @@ def render(
         depth=out.depth,
         radii=out.radii,
         means2d=means2d,
+        dropped_pairs=out.dropped_pairs,
     )
 
 

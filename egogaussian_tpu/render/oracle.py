@@ -32,6 +32,9 @@ class RenderOutput(NamedTuple):
     alpha: jnp.ndarray  # [1, H, W]
     depth: jnp.ndarray  # [1, H, W]
     radii: jnp.ndarray  # [N]
+    # pairs silently lost to the tiled/pallas static binning capacities
+    # (0 for the exact oracle; scalar i32 from the binned backends)
+    dropped_pairs: jnp.ndarray = 0
 
 
 def pixel_alphas(

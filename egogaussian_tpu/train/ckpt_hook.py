@@ -30,21 +30,21 @@ class StageCheckpointer:
     def maybe_save(self, it: int, state: Any, rng: np.random.RandomState,
                    key: jax.Array, extra: Any = None) -> None:
         """`extra`: optional picklable host-side payload (e.g. the coarse
-        stage's solved-frame names) restored verbatim by try_restore."""
+        stage's solved-frame names) restored verbatim by try_restore.
+
+        Device state and host payload are packed into ONE npz (single
+        atomic replace) — a crash can never leave a newer state paired
+        with an older iteration/RNG snapshot."""
         if not self.path or not self.every or it % self.every:
             return
-        save_train_state(self.path, state)
-        with open(self.path + ".host", "wb") as f:
-            pickle.dump(
-                {"it": it, "rng": rng.get_state(), "key": np.asarray(key),
-                 "extra": extra}, f
-            )
-        os.replace(self.path + ".host", self.path + ".rng")
+        blob = pickle.dumps(
+            {"it": it, "rng": rng.get_state(), "key": np.asarray(key),
+             "extra": extra}
+        )
+        save_train_state(self.path, state, host_blob=blob)
 
     def exists(self) -> bool:
-        return bool(self.path) and os.path.exists(self.path) and os.path.exists(
-            self.path + ".rng"
-        )
+        return bool(self.path) and os.path.exists(self.path)
 
     def peek_capacity(self) -> int:
         """Capacity (leading dim of the first leaf) of the saved state —
@@ -61,12 +61,10 @@ class StageCheckpointer:
         self.extra = None
         if not self.path or not os.path.exists(self.path):
             return state_like, 0, key
-        host_path = self.path + ".rng"
-        if not os.path.exists(host_path):
+        state, blob = load_train_state(self.path, state_like, return_host=True)
+        if blob is None:  # checkpoint without a host payload: unusable
             return state_like, 0, key
-        state = load_train_state(self.path, state_like)
-        with open(host_path, "rb") as f:
-            host = pickle.load(f)
+        host = pickle.loads(blob)
         rng.set_state(host["rng"])
         self.extra = host.get("extra")
         import jax.numpy as jnp

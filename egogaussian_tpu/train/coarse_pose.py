@@ -66,7 +66,11 @@ from egogaussian_tpu.train.common import (
     mask_grad,
     render_gaussians,
 )
-from egogaussian_tpu.train.static import _densify_jit, _reset_opacity_jit
+from egogaussian_tpu.train.static import (
+    _densify_jit,
+    _log_dropped_pairs,
+    _reset_opacity_jit,
+)
 from egogaussian_tpu.utils.console import CONSOLE
 
 
@@ -90,6 +94,7 @@ def pose_step(
     pose_lr_t: jnp.ndarray,
     pose_lr_r: jnp.ndarray,
     record_stats: jnp.ndarray,
+    drop_max,
     train_pose: bool,
     lambda_image: float = 1.0,
     lambda_dssim: float = 0.1,
@@ -125,15 +130,15 @@ def pose_step(
         loss = lambda_image * image_loss(img, gt_obj, lambda_dssim)
         loss = loss + lambda_l1_alpha * l1_loss(obj_mask, alpha)
         loss = loss + lambda_l2_alpha * l2_loss(obj_mask, alpha)
-        return loss, (res.radii, loss)
+        return loss, (res.radii, loss, res.dropped_pairs)
 
     if grad_params:
-        grads, (radii, loss) = jax.grad(
+        grads, (radii, loss, dropped) = jax.grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(model.params, pose, probe)
         param_grads, pose_grads, probe_grads = grads
     else:
-        grads, (radii, loss) = jax.grad(
+        grads, (radii, loss, dropped) = jax.grad(
             loss_fn, argnums=(1, 2), has_aux=True
         )(jax.lax.stop_gradient(model.params), pose, probe)
         pose_grads, probe_grads = grads
@@ -157,7 +162,8 @@ def pose_step(
         pose, pose_opt_state = adam_update(
             pose, pose_grads, pose_opt_state, pose_lrs
         )
-    return model, new_opt, pose, pose_opt_state, loss, radii
+    return (model, new_opt, pose, pose_opt_state, loss, radii,
+            jnp.maximum(drop_max, dropped))
 
 
 def _coarse_xyz_lr(it: int, cfg: Config, spatial: float, first_frame: bool) -> float:
@@ -266,6 +272,7 @@ def estimate_coarse_obj_pose(
         backend = pick_backend(tile_cfg, backend)
         CONSOLE.log(f"[coarse] resume: {len(solved_names)} frames solved")
 
+    drop_max = jnp.int32(0)
     for phase, dyn_frames in enumerate(dynamic_phase_frames):
         # append first frame of the next static phase (coarse_obj_pose.py:137)
         frames = list(dyn_frames) + [static_phase_frames[phase + 1][0]]
@@ -336,11 +343,12 @@ def estimate_coarse_obj_pose(
                 else:
                     fixed_T = jnp.asarray(accum_T[cam_idx])
                     fixed_R = jnp.asarray(accum_R[cam_idx])
-                model, opt_state, pose, pose_opt, loss, radii = pose_step(
+                model, opt_state, pose, pose_opt, loss, radii, drop_max = pose_step(
                     model, opt_state, pose, pose_opt, batch,
                     jnp.int32(cam_idx), fixed_T, fixed_R, lr_tree,
                     jnp.float32(plr_t), jnp.float32(plr_r),
                     jnp.asarray(it > cp.warm_up_iter),
+                    drop_max,
                     train_pose=train_p,
                     lambda_image=cp.lambda_image,
                     lambda_dssim=cp.lambda_dssim,
@@ -370,6 +378,11 @@ def estimate_coarse_obj_pose(
                             which_object=1,
                         )
                         model, opt_state = res.model, res.opt_state
+                        if int(res.overflow):
+                            CONSOLE.log(
+                                f"[coarse] it {it}: densify overflow — "
+                                f"{int(res.overflow)} candidates dropped"
+                            )
                         model, opt_state, grew = ensure_capacity(model, opt_state)
                         if grew:
                             tile_cfg = auto_tile_config(model, batch.camera(0))
@@ -399,6 +412,7 @@ def estimate_coarse_obj_pose(
                         os.path.join(save_dir, "ply", f"gaussians_frame{f_cur}.ply"),
                     )
 
+    _log_dropped_pairs("coarse", None, drop_max)
     if save_dir:
         save_ply(model, os.path.join(save_dir, "ply", "gaussians_final.ply"))
         save_pose_sequence(

@@ -33,7 +33,7 @@ from egogaussian_tpu.train.common import (
     mask_grad,
     render_gaussians,
 )
-from egogaussian_tpu.train.static import _reset_opacity_jit
+from egogaussian_tpu.train.static import _log_dropped_pairs, _reset_opacity_jit
 from egogaussian_tpu.utils.console import CONSOLE
 
 
@@ -48,6 +48,7 @@ def _fine_all_step(
     fixed_T: jnp.ndarray,
     fixed_R: jnp.ndarray,
     lr_tree,
+    drop_max=0,
     lambda_dssim: float = 0.2,
     backend: str = "tiled",
     tile_config=None,
@@ -62,11 +63,14 @@ def _fine_all_step(
             tile_config=tile_config,
         )
         img = mask_grad(res.image, hand)
-        return image_loss(img, gt, lambda_dssim)
+        return image_loss(img, gt, lambda_dssim), res.dropped_pairs
 
-    loss, grads = jax.value_and_grad(loss_fn)(model.params)
+    (loss, dropped), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        model.params
+    )
     new_params, new_opt = adam_update(model.params, grads, opt_state, lr_tree)
-    return dataclasses.replace(model, params=new_params), new_opt, loss
+    return (dataclasses.replace(model, params=new_params), new_opt, loss,
+            jnp.maximum(drop_max, dropped))
 
 
 def _fine_all_lr_tree(model, it: int, cfg: Config):
@@ -149,16 +153,17 @@ def fine_tune_all(
         f"{len(frames)} frames, {ap.total_num_iter} iters"
     )
 
+    drop_max = jnp.int32(0)
     for it in range(start_it + 1, ap.total_num_iter + 1):
         if it == 1:
             cam_idx = static_phase_frames[0][0]
         else:
             cam_idx = int(frames[rng.choice(len(frames), p=weights)])
         lr_tree = _fine_all_lr_tree(model, it, cfg)
-        model, opt_state, loss = _fine_all_step(
+        model, opt_state, loss, drop_max = _fine_all_step(
             model, opt_state, batch, jnp.int32(cam_idx),
             jnp.asarray(accum_T[cam_idx]), jnp.asarray(accum_R[cam_idx]),
-            lr_tree, lambda_dssim=ap.lambda_dssim, backend=backend,
+            lr_tree, drop_max, lambda_dssim=ap.lambda_dssim, backend=backend,
             tile_config=tile_cfg,
         )
         # the reference's stray opacity clamp (fine_all.py:121-124)
@@ -169,6 +174,7 @@ def fine_tune_all(
             it, (model, opt_state), rng, jax.random.PRNGKey(0)
         )
 
+    _log_dropped_pairs("fine_all", None, drop_max)
     if save_dir:
         save_ply(model, os.path.join(save_dir, "gaussians_all.ply"))
     return model

@@ -37,7 +37,11 @@ from egogaussian_tpu.models.pose import (
     save_pose_sequence,
 )
 from egogaussian_tpu.train.coarse_pose import pose_step
-from egogaussian_tpu.train.static import _densify_jit, _reset_opacity_jit
+from egogaussian_tpu.train.static import (
+    _densify_jit,
+    _log_dropped_pairs,
+    _reset_opacity_jit,
+)
 from egogaussian_tpu.utils.console import CONSOLE
 
 
@@ -136,6 +140,7 @@ def fine_tune_obj(
     accum_T = np.asarray(pose_seq.accum_T())
     accum_R = np.asarray(pose_seq.accum_R())
 
+    drop_max = jnp.int32(0)
     for it in range(start_it + 1, fp.total_num_iter + 1):
         if it == 1:
             cam_idx, train_p = static_phase_frames[0][0], False
@@ -168,11 +173,12 @@ def fine_tune_obj(
             fixed_T = jnp.asarray(accum_T[cam_idx])
             fixed_R = jnp.asarray(accum_R[cam_idx])
 
-        model, opt_state, pose, pose_opt, loss, radii = pose_step(
+        model, opt_state, pose, pose_opt, loss, radii, drop_max = pose_step(
             model, opt_state, pose, pose_opt, batch,
             jnp.int32(cam_idx), fixed_T, fixed_R, lr_tree,
             jnp.float32(plr_t), jnp.float32(plr_r),
             jnp.asarray(True),
+            drop_max,
             train_pose=train_p,
             lambda_image=fp.lambda_Ll1_image,
             lambda_dssim=fp.lambda_dssim,
@@ -202,6 +208,11 @@ def fine_tune_obj(
                     which_object=1,
                 )
                 model, opt_state = res.model, res.opt_state
+                if int(res.overflow):
+                    CONSOLE.log(
+                        f"[fine_obj] it {it}: densify overflow — "
+                        f"{int(res.overflow)} candidates dropped"
+                    )
                 model, opt_state, grew = ensure_capacity(model, opt_state)
                 if grew:
                     tile_cfg = auto_tile_config(model, batch.camera(0))
@@ -213,6 +224,7 @@ def fine_tune_obj(
             it, (model, opt_state, pose_opt, pose_seq), rng, key
         )
 
+    _log_dropped_pairs("fine_obj", None, drop_max)
     if save_dir:
         save_pose_sequence(
             os.path.join(save_dir, "obj_pose_sequence.npz"),

@@ -72,6 +72,7 @@ def _static_step(
     frame_idx: jnp.ndarray,
     grad_mask: jnp.ndarray,
     lr_tree,
+    drop_max=0,
     mode: str = "std",
     lambda_dssim: float = 0.2,
     backend: str = "tiled",
@@ -105,7 +106,7 @@ def _static_step(
             )
             label_img = mask_grad(res.image, grad_mask)
             loss = bce_with_logits(label_img, obj_mask)
-            return loss, (res.radii, loss)
+            return loss, (res.radii, loss, res.dropped_pairs)
         res = render_gaussians(m, cam, bg, means2d_probe=probe,
                                backend=backend, tile_config=tile_config)
         img = mask_grad(res.image, grad_mask)
@@ -114,11 +115,11 @@ def _static_step(
             loss = loss + 0.1 * opacity_entropy(
                 m.params.opacity_logit[:, 0], res.radii > 0
             )
-        return loss, (res.radii, loss)
+        return loss, (res.radii, loss, res.dropped_pairs)
 
-    grads, (radii, loss) = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
-        model.params, probe
-    )
+    grads, (radii, loss, dropped) = jax.grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(model.params, probe)
     param_grads, probe_grads = grads
     # the reference accumulates screen-space gradients in NDC units (the
     # CUDA backward scales dL/dmean2D by W/2, H/2); our probe is in pixels,
@@ -130,7 +131,22 @@ def _static_step(
     model = add_densification_stats(model, probe_grads * ndc_scale, radii)
     new_params, new_opt = adam_update(model.params, param_grads, opt_state, lr_tree)
     model = dataclasses.replace(model, params=new_params)
-    return model, new_opt, loss, radii
+    return model, new_opt, loss, radii, jnp.maximum(drop_max, dropped)
+
+
+def _log_dropped_pairs(stage: str, phase, drop_max) -> None:
+    """End-of-phase report of the worst binning-capacity pair loss (SURVEY
+    §7 hard-part 1: silent truncation biases training — make it loud)."""
+    d = int(drop_max)
+    tag = f"[{stage}] phase {phase}" if phase is not None else f"[{stage}]"
+    if d:
+        CONSOLE.log(
+            f"{tag}: WARNING — up to {d} pairs/render dropped by binning "
+            "capacities (raise TileConfig.max_pairs/max_per_tile or the "
+            "auto_tile_config headroom)"
+        )
+    else:
+        CONSOLE.log(f"{tag}: 0 pairs dropped by binning capacities")
 
 
 _densify_jit = jax.jit(
@@ -238,6 +254,7 @@ def train_static(
             f"[static] phase {phase}: {len(phase_cams)} frames, "
             f"{total_iters} iters, capacity {model.capacity}"
         )
+        drop_max = jnp.int32(0)  # worst binning-capacity loss seen (device)
         for it in range(start_it + 1, total_iters + 1):
             fidx = stack[rng.randint(len(stack))]
             if it <= sp.std_train_iter:
@@ -265,8 +282,9 @@ def train_static(
                 jnp.asarray(rng.rand(3), jnp.float32)
                 if opt_cfg.random_background else None
             )
-            model, opt_state, loss, radii = _static_step(
+            model, opt_state, loss, radii, drop_max = _static_step(
                 model, opt_state, batch, jnp.int32(fidx), hand, lr_tree,
+                drop_max,
                 mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
                 tile_config=tile_cfg, bg_color=bg_color,
             )
@@ -285,6 +303,12 @@ def train_static(
                         percent_dense=opt_cfg.percent_dense,
                     )
                     model, opt_state = res.model, res.opt_state
+                    if int(res.overflow):
+                        CONSOLE.log(
+                            f"[static] it {it}: densify overflow — "
+                            f"{int(res.overflow)} candidates dropped "
+                            "(capacity grows next interval)"
+                        )
                     model, opt_state, grew = ensure_capacity(model, opt_state)
                     if grew:
                         # capacity growth recompiles anyway — re-estimate the
@@ -318,6 +342,7 @@ def train_static(
                 it, TrainState(model, opt_state, jnp.int32(it)), rng, key
             )
 
+        _log_dropped_pairs("static", phase, drop_max)
         model = model.infer_is_object_from_label()
         obj_model, bg_model = _split_by_is_object(model)
 
@@ -426,6 +451,7 @@ def train_background(
         backend = pick_backend(tile_cfg, backend)
     CONSOLE.log(f"[bg] {len(train_cams)} frames, {total_iters} iters")
 
+    drop_max = jnp.int32(0)
     for it in range(start_it + 1, total_iters + 1):
         fidx = rng.randint(len(train_cams))
         mode = "std" if it <= bp.std_train_iter else "entropy"
@@ -433,8 +459,9 @@ def train_background(
             model.params, jnp.int32(it), opt_cfg, model.spatial_lr_scale,
             label_lr=0.0,
         )
-        model, opt_state, loss, radii = _static_step(
+        model, opt_state, loss, radii, drop_max = _static_step(
             model, opt_state, batch, jnp.int32(fidx), int_masks_j[fidx], lr_tree,
+            drop_max,
             mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
             tile_config=tile_cfg,
         )
@@ -451,6 +478,11 @@ def train_background(
                     percent_dense=opt_cfg.percent_dense,
                 )
                 model, opt_state = res.model, res.opt_state
+                if int(res.overflow):
+                    CONSOLE.log(
+                        f"[bg] it {it}: densify overflow — "
+                        f"{int(res.overflow)} candidates dropped"
+                    )
                 model, opt_state, grew = ensure_capacity(model, opt_state)
                 if grew:
                     tile_cfg = auto_tile_config(model, batch.camera(0))
@@ -465,6 +497,7 @@ def train_background(
             it, TrainState(model, opt_state, jnp.int32(it)), rng, key
         )
 
+    _log_dropped_pairs("bg", None, drop_max)
     if save_dir:
         save_ply(model, os.path.join(save_dir, "static_bg.ply"))
     return model

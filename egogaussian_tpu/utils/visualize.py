@@ -2,14 +2,46 @@
 
 Twin of reference `utils/dynamic_utils.py:49-120` (get_eval_img /
 get_eval_img_new with Serif.ttf captions) and `utils/visualize_utils.py`
-(vis_input_and_render 8-panel montage). Uses PIL's default bitmap font
-instead of a bundled TTF.
+(vis_input_and_render 8-panel montage). Captions use a scalable TTF when
+one is available on the system (matplotlib bundles DejaVu; the reference
+bundles Serif.ttf), falling back to PIL's bitmap font.
 """
 from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+
+def _caption_font(size: int):
+    """Best available scalable font (reference dynamic_utils.py:65-120 uses
+    ImageFont.truetype('utils/Serif.ttf', ...)); None -> PIL default."""
+    from PIL import ImageFont
+
+    candidates = []
+    try:
+        import matplotlib
+
+        import os
+
+        candidates.append(
+            os.path.join(
+                os.path.dirname(matplotlib.__file__),
+                "mpl-data", "fonts", "ttf", "DejaVuSans.ttf",
+            )
+        )
+    except ImportError:
+        pass
+    candidates += [
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/dejavu/DejaVuSans.ttf",
+    ]
+    for path in candidates:
+        try:
+            return ImageFont.truetype(path, size)
+        except OSError:
+            continue
+    return None
 
 
 def to_uint8_image(arr) -> np.ndarray:
@@ -41,12 +73,16 @@ def make_montage(
     ch = caption_height if captions else 0
     canvas = Image.new("RGB", (cols * w, rows * (h + ch)), (0, 0, 0))
     draw = ImageDraw.Draw(canvas)
+    font = _caption_font(max(caption_height - 3, 8)) if captions else None
     for i, tile in enumerate(tiles):
         r, c = divmod(i, cols)
         y = r * (h + ch)
         canvas.paste(Image.fromarray(tile), (c * w, y + ch))
         if captions and i < len(captions):
-            draw.text((c * w + 2, y + 1), captions[i], fill=(255, 255, 255))
+            draw.text(
+                (c * w + 2, y + 1), captions[i], fill=(255, 255, 255),
+                font=font,
+            )
     return canvas
 
 

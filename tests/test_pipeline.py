@@ -1,5 +1,8 @@
 """End-to-end pipeline smoke test: all 6 stages on the synthetic 2-phase
 video at tiny iteration counts (SURVEY.md §4), plus resume."""
+import dataclasses
+
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -8,12 +11,25 @@ from egogaussian_tpu.data.readers import SceneData, compute_nerfpp_norm
 from egogaussian_tpu.pipeline import run_pipeline
 from tests.test_train import tiny_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene_and_phases():
     vid = make_synthetic_video(
         width=48, height=36, n_bg=120, n_obj=30,
         frames_static=3, frames_dynamic=2,
+    )
+    # Deliberately "delete" the shipped obj mask of static phase 1's FIRST
+    # frame (the coarse stage's next-static anchor). Stage 1.0 must train
+    # phase 1 too, and stage 1.1 must complete this mask from phase 1's
+    # label predictions — with first_phase_only (the round-1 bug) the
+    # anchor loss would silently train against gt*0 (reference
+    # train.py:69-90 behavior).
+    anchor = vid.static_phases[1][0]
+    cam = vid.cameras[anchor]
+    vid.cameras[anchor] = dataclasses.replace(
+        cam, obj_mask=jnp.zeros_like(cam.obj_mask)
     )
     scene = SceneData(
         cameras=vid.cameras,
@@ -44,6 +60,7 @@ def test_full_pipeline(scene_and_phases, tmp_path_factory):
 
     for p in (
         "static/ply/static_phase0_obj.ply",
+        "static/ply/static_phase1_obj.ply",  # ALL static phases trained
         "background/static_bg.ply",
         "coarse/obj_pose_sequence.npz",
         "coarse/ply/gaussians_final.ply",
@@ -61,6 +78,16 @@ def test_full_pipeline(scene_and_phases, tmp_path_factory):
     for ph in vid.dynamic_phases:
         for f in range(ph[0], ph[1] + 1):
             assert solved[f], f
+
+    # stage 1.1 completed the deleted anchor mask from phase-1 predictions:
+    # a nonzero predicted mask PNG exists for it
+    from PIL import Image
+
+    anchor_name = vid.image_names[vid.static_phases[1][0]]
+    mask_png = os.path.join(save_dir, "static", "obj_masks", f"{anchor_name}.png")
+    assert os.path.exists(mask_png), mask_png
+    with Image.open(mask_png) as im:
+        assert np.asarray(im).sum() > 0, "predicted anchor mask is empty"
 
     # resume path: re-running with resume=True loads artifacts (fast)
     result2 = run_pipeline(

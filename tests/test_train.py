@@ -95,7 +95,7 @@ class TestStaticStep:
                 model.params, jnp.int32(it), cfg.opt, 1.0, label_lr=0.0
             )
             fidx = (it - 1) % 4
-            model, opt_state, loss, radii = _static_step(
+            model, opt_state, loss, radii, _ = _static_step(
                 model, opt_state, batch, jnp.int32(fidx),
                 batch.hand_masks[fidx], lr_tree, mode="std",
             )
@@ -112,7 +112,7 @@ class TestStaticStep:
             model.params, jnp.int32(1), cfg.opt, 1.0, zero_gaussians=True
         )
         lr_tree = dataclasses.replace(lr_tree, label=jnp.float32(0.01))
-        m2, _, loss, _ = _static_step(
+        m2, _, loss, _, _ = _static_step(
             model, opt_state, batch, jnp.int32(0), batch.hand_masks[0],
             lr_tree, mode="label",
         )
@@ -139,6 +139,7 @@ class TestEntropySaturation:
         assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 class TestStaticTrainer:
     def test_runs_end_to_end(self, video, tmp_path):
         cfg = tiny_config()
@@ -168,6 +169,7 @@ class TestStaticTrainer:
 
 
 class TestPoseStep:
+    @pytest.mark.slow
     def test_recovers_known_motion(self, video):
         """Self-consistency: render the GT object model at a known rigid pose
         as the target, then recover that pose from identity with pose_step.
@@ -216,10 +218,11 @@ class TestPoseStep:
         loss0 = None
         m = model
         for it in range(300):
-            m, opt_state, pose, pose_opt, loss, _ = pose_step(
+            m, opt_state, pose, pose_opt, loss, _, _ = pose_step(
                 m, opt_state, pose, pose_opt, batch, jnp.int32(0),
                 jnp.eye(4), jnp.eye(3), lr_zero,
                 jnp.float32(1e-2), jnp.float32(1e-2), jnp.asarray(False),
+                jnp.int32(0),
                 train_pose=True,
             )
             if loss0 is None:
@@ -243,10 +246,11 @@ class TestPoseStep:
         pose_opt = adam_init(pose)
         opt_state = adam_init(model.params)
         lr_zero = jax.tree_util.tree_map(lambda x: jnp.float32(0.0), model.params)
-        m, _, pose2, _, loss, _ = pose_step(
+        m, _, pose2, _, loss, _, _ = pose_step(
             model, opt_state, pose, pose_opt, batch, jnp.int32(0),
             jnp.eye(4), jnp.eye(3), lr_zero,
             jnp.float32(1e-3), jnp.float32(1e-3), jnp.asarray(False),
+            jnp.int32(0),
             train_pose=False,
         )
         np.testing.assert_allclose(
@@ -254,6 +258,7 @@ class TestPoseStep:
         )
 
 
+@pytest.mark.slow
 class TestFineAll:
     def test_runs(self, video, tmp_path):
         from egogaussian_tpu.models.pose import empty_pose_sequence
@@ -274,6 +279,7 @@ class TestFineAll:
         assert (tmp_path / "gaussians_all.ply").exists()
 
 
+@pytest.mark.slow
 class TestMidStageCheckpoint:
     def test_static_resume_reproduces_run(self, video, tmp_path):
         """Killing and resuming the static stage mid-way must land on the
