@@ -770,6 +770,346 @@ def make_stream_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
     return compositor
 
 
+# ---------------------------------------------------------------------------
+# Tile-grid compositor: grid = TILES (not chunk slots), each grid step runs
+# an inner emit_pipeline over its tile's chunk run in the flat chunk-padded
+# pair array (double-buffered DMA handled by the pipeline machinery). vs the
+# stream compositor (one grid step per 128-pair chunk) this roughly halves
+# grid steps at trained-scene occupancy AND hides per-chunk DMA latency
+# behind compute — the per-grid-step overhead (~1.6 us) that dominated the
+# stream kernels is paid once per TILE, not per chunk.
+#
+# Mosaic requires DMA block slices to be tile-aligned in the minor two dims
+# (lanes % 128, sublanes % 8), so the pair data is stored TRANSPOSED per
+# chunk: vals [n_slots, ch16, 128] where ch16 = (7+D) rounded up to 8 —
+# block (1, ch16, 128) is fully aligned. The kernel math runs with PIXELS on
+# sublanes and PAIRS on lanes ([P, 128] blocks; transmittance scans become
+# lane-shift prefix/suffix sums), which needs no in-kernel transpose.
+# Backward writes each tile's gradient blocks back out through the same
+# pipeline (chunk-padded layout makes every tile's blocks exclusive).
+# ---------------------------------------------------------------------------
+
+
+def _ch16(d: int) -> int:
+    return ((7 + d) + 7) // 8 * 8
+
+
+def _pixel_coords_col(tile_id, ts: int, n_tx: int, dtype):
+    """Pixel-center coordinates of a tile's pixels as [P, 1] columns."""
+    tx = (tile_id % n_tx).astype(dtype)
+    ty = (tile_id // n_tx).astype(dtype)
+    i = jax.lax.broadcasted_iota(jnp.int32, (ts * ts, 1), 0)
+    cols = (i % ts).astype(dtype)
+    rows = (i // ts).astype(dtype)
+    px = tx * ts + cols + 0.5
+    py = ty * ts + rows + 0.5
+    return px, py
+
+
+def _prefix_scan_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 1 (lanes) by shift-add doubling."""
+    n = x.shape[1]
+    k = 1
+    while k < n:
+        zero = jnp.zeros((x.shape[0], k), x.dtype)
+        x = x + jnp.concatenate([zero, x[:, :-k]], axis=1)
+        k *= 2
+    return x
+
+
+def _suffix_scan_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive suffix sum along axis 1 (lanes) by shift-add doubling."""
+    n = x.shape[1]
+    k = 1
+    while k < n:
+        zero = jnp.zeros((x.shape[0], k), x.dtype)
+        x = x + jnp.concatenate([x[:, k:], zero], axis=1)
+        k *= 2
+    return x
+
+
+def _chunk_alphas_T(blk, px, py, lane_ok):
+    """alpha [P, 128] from a TRANSPOSED chunk blk [ch16, 128].
+    px, py: [P, 1]; lane_ok: [1, 128] bool validity of each pair lane."""
+    dx = px - blk[0:1]  # [P, 128]
+    dy = py - blk[1:2]
+    a, b, c = blk[2:3], blk[3:4], blk[4:5]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    power = jnp.minimum(power, 0.0)
+    op = jnp.where(lane_ok, blk[5:6], 0.0)
+    raw = op * jnp.exp(power)
+    alpha = jnp.minimum(raw, ALPHA_MAX)
+    alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
+    return alpha, raw, power, dx, dy
+
+
+def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
+                         meta_ref,
+                         vals_ref, bg_ref,
+                         img_ref, alpha_ref, depth_ref, logt_ref,
+                         acc_img, acc_a, acc_d, logT, cidx):
+    """meta [3, T] i32: (chunk-start slot, pair count, n-fit-slots bcast).
+    vals [n_slots, ch16, 128] stays in HBM; the tile's chunk run is
+    streamed through an inner emit_pipeline."""
+    t = pl.program_id(0)
+    ch16 = vals_ref.shape[1]
+    start_slot = meta_ref[0, t]
+    cnt = meta_ref[1, t]
+    n_chunks = (cnt + _CHUNK - 1) // _CHUNK
+    dtype = jnp.float32
+    px, py = _pixel_coords_col(t, ts, n_tx, dtype)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
+
+    acc_img[...] = jnp.zeros_like(acc_img)
+    acc_a[...] = jnp.zeros_like(acc_a)
+    acc_d[...] = jnp.zeros_like(acc_d)
+    logT[...] = jnp.zeros_like(logT)
+    cidx[0] = 0
+
+    def process(blk, i):
+        # blk [ch16, 128]: rows mu_x|mu_y|a|b|c|op|col*d|z|pad
+        lane_ok = lane_iota + i * _CHUNK < cnt
+        alpha, _, _, _, _ = _chunk_alphas_T(blk, px, py, lane_ok)
+        log1m = jnp.log1p(-alpha)  # [P, 128]
+        incl = _prefix_scan_lanes(log1m) + logT[...]
+        w = alpha * jnp.exp(incl - log1m)  # [P, 128]
+        acc_img[...] += jnp.concatenate(
+            [
+                jnp.sum(w * blk[6 + j:7 + j], axis=1, keepdims=True)
+                for j in range(d)
+            ],
+            axis=1,
+        )
+        acc_a[...] += jnp.sum(w, axis=1, keepdims=True)
+        acc_d[...] += jnp.sum(w * blk[6 + d:7 + d], axis=1, keepdims=True)
+        logT[...] = incl[:, _CHUNK - 1:]
+
+    if use_pipeline:
+        def chunk_body(blk_ref):
+            i = cidx[0]
+            process(blk_ref[0], i)
+            cidx[0] = i + 1
+
+        pipeline = pltpu.emit_pipeline(
+            chunk_body,
+            grid=(n_chunks,),
+            in_specs=[pl.BlockSpec((1, ch16, _CHUNK),
+                                   lambda i: (start_slot + i, 0, 0))],
+        )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            pipeline(vals_ref)
+    else:  # interpret mode: plain dynamic-index loads (no Mosaic, no DMA)
+        def body(i, _):
+            process(vals_ref[start_slot + i], i)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    t_final = jnp.exp(logT[...])  # [P, 1]
+    img_ref[0, :, :] = acc_img[...] + t_final * bg_ref[0, :][None, :]
+    alpha_ref[0, :, :] = acc_a[...]
+    depth_ref[0, :, :] = acc_d[...]
+    logt_ref[0, :, :] = logT[...]
+
+
+def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
+                         meta_ref,
+                         vals_ref, bg_ref, logt_ref,
+                         gimg_ref, galpha_ref, gdepth_ref,
+                         dvals_ref,
+                         suf_log, suf_S, cidx):
+    """Reverse single sweep over the tile's chunks (suffix algebra as in
+    _bwd_kernel_chunked, transposed layout: pixels on sublanes, pairs on
+    lanes); the inner emit_pipeline streams chunk blocks back-to-front and
+    writes each chunk's gradient block out (exclusive per tile)."""
+    t = pl.program_id(0)
+    ch16 = vals_ref.shape[1]
+    start_slot = meta_ref[0, t]
+    cnt = meta_ref[1, t]
+    n_chunks = (cnt + _CHUNK - 1) // _CHUNK
+    dtype = jnp.float32
+    px, py = _pixel_coords_col(t, ts, n_tx, dtype)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
+
+    suf_log[...] = jnp.zeros_like(suf_log)
+    suf_S[...] = jnp.zeros_like(suf_S)
+    cidx[0] = 0
+
+    gimg = gimg_ref[0]  # [P, D]
+    galpha = galpha_ref[0]  # [P, 1]
+    gdepth = gdepth_ref[0]  # [P, 1]
+    bg = bg_ref[0, :]  # [D]
+    logT_total = logt_ref[0]  # [P, 1]
+    base_S = jnp.exp(logT_total) * jnp.sum(
+        gimg * bg[None, :], axis=-1, keepdims=True
+    )  # [P, 1]
+
+    def process(blk, i):
+        lane_ok = lane_iota + i * _CHUNK < cnt
+        alpha, raw, power, dx, dy = _chunk_alphas_T(blk, px, py, lane_ok)
+        log1m = jnp.log1p(-alpha)  # [P, 128]
+        U = _suffix_scan_lanes(log1m) + suf_log[...]
+        T_excl = jnp.exp(logT_total - U)
+        w = alpha * T_excl
+        dld = blk[6 + d:7 + d] * gdepth + galpha  # [P, 128]
+        for jj in range(d):
+            dld = dld + blk[6 + jj:7 + jj] * gimg[:, jj:jj + 1]
+        wd = w * dld
+        S = (_suffix_scan_lanes(wd) - wd) + suf_S[...] + base_S
+        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = T_excl * dld - S / one_minus
+        gate = (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
+        dalpha = jnp.where(gate, dalpha, 0.0)
+        dpower = raw * dalpha
+        a, b, cc = blk[2:3], blk[3:4], blk[4:5]
+        ddx = (-(a * dx + b * dy)) * dpower
+        ddy = (-(cc * dy + b * dx)) * dpower
+        # per-pair rows [1, 128]: reductions over pixels (sublanes, axis 0)
+        dmu_x = -jnp.sum(ddx, axis=0, keepdims=True)
+        dmu_y = -jnp.sum(ddy, axis=0, keepdims=True)
+        da = jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)
+        db = jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)
+        dc = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
+        dop = jnp.sum(jnp.exp(power) * dalpha, axis=0, keepdims=True)
+        dop = jnp.where(lane_ok, dop, 0.0)
+        dcols = [
+            jnp.sum(w * gimg[:, jj:jj + 1], axis=0, keepdims=True)
+            for jj in range(d)
+        ]
+        dz = jnp.sum(w * gdepth, axis=0, keepdims=True)
+        pad = jnp.zeros((ch16 - (7 + d), _CHUNK), dtype)
+        dblk = jnp.concatenate(
+            [dmu_x, dmu_y, da, db, dc, dop] + dcols + [dz, pad], axis=0
+        )  # [ch16, 128]
+        suf_log[...] += jnp.sum(log1m, axis=1, keepdims=True)
+        suf_S[...] += jnp.sum(wd, axis=1, keepdims=True)
+        return dblk
+
+    if use_pipeline:
+        def chunk_body(blk_ref, dblk_ref):
+            j = cidx[0]
+            i = n_chunks - 1 - j  # chunks processed back-to-front
+            dblk_ref[0] = process(blk_ref[0], i)
+            cidx[0] = j + 1
+
+        def rev_index(j):
+            return (start_slot + jnp.maximum(n_chunks - 1 - j, 0), 0, 0)
+
+        pipeline = pltpu.emit_pipeline(
+            chunk_body,
+            grid=(n_chunks,),
+            in_specs=[pl.BlockSpec((1, ch16, _CHUNK), rev_index)],
+            out_specs=[pl.BlockSpec((1, ch16, _CHUNK), rev_index)],
+        )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            pipeline(vals_ref, dvals_ref)
+    else:  # interpret mode: direct dynamic-index loads/stores
+        def body(j, _):
+            i = n_chunks - 1 - j
+            dvals_ref[start_slot + i] = process(vals_ref[start_slot + i], i)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
+                             n_tx: int, interpret: bool = False):
+    """Build the tile-grid compositor (grid over tiles, inner emit_pipeline
+    over each tile's chunk run). Interface:
+
+      meta [3, n_tiles] i32: (chunk-start slot, pair count, fit-slot count
+        broadcast — slots >= meta[2,0] belong to no fitting tile and their
+        gradient blocks are masked to zero in the vjp)
+      vals [n_slots, ch16, 128] packed pair data, chunk-padded AND
+        transposed per chunk (rows = mu_x|mu_y|a|b|c|op|col*D|z|pad)
+      bg [1, D]
+    Returns: img [T, P, D], alpha [T, P, 1], depth [T, P, 1]. Tiles with
+    count 0 write bg / 0 outputs directly."""
+    p = ts * ts
+    ch16 = _ch16(d)
+
+    vals_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    bg_spec = pl.BlockSpec((1, d), lambda t, meta: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def out_spec(c_):
+        return pl.BlockSpec((1, p, c_), lambda t, meta: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    logt_spec = pl.BlockSpec((1, p, 1), lambda t, meta: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_tilegrid_fwd_kernel, n_tx, ts, d, not interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[vals_spec, bg_spec],
+            out_specs=(out_spec(d), out_spec(1), out_spec(1), logt_spec),
+            scratch_shapes=[
+                pltpu.VMEM((p, d), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, p, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_tilegrid_bwd_kernel, n_tx, ts, d, not interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[vals_spec, bg_spec, logt_spec,
+                      out_spec(d), out_spec(1), out_spec(1)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_slots, ch16, _CHUNK), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def compositor(meta, vals, bg):
+        return fwd_call(meta, vals, bg)[:3]
+
+    def fwd(meta, vals, bg):
+        img, alpha, depth, logt = fwd_call(meta, vals, bg)
+        return (img, alpha, depth), (meta, vals, bg, logt)
+
+    def bwd(res, g):
+        meta, vals, bg, logt = res
+        gimg, galpha, gdepth = g
+        dvals = bwd_call(meta, vals, bg, logt, gimg, galpha, gdepth)
+        # blocks beyond the fitting tiles' chunk runs were never written by
+        # any grid step (empty tiles own no slots; overflowed tiles are
+        # zero-count) — zero them so the upstream gather-VJP scatter-add
+        # doesn't inject uninitialized memory into real gradients
+        s = jax.lax.broadcasted_iota(jnp.int32, (dvals.shape[0], 1, 1), 0)
+        dvals = jnp.where(s < meta[2, 0], dvals, 0.0)
+        return None, dvals, jnp.zeros_like(bg)
+
+    compositor.defvjp(fwd, bwd)
+    return compositor
+
+
 @functools.lru_cache(maxsize=None)
 def make_tile_compositor(n_tiles: int, m: int, d: int, ts: int, n_tx: int,
                          interpret: bool = False):

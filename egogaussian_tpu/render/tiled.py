@@ -38,14 +38,31 @@ class TileConfig:
     max_pairs: Optional[int] = None  # default 16 * N
     max_per_tile: int = 1024
     map_batch: int = 64  # tiles composited per lax.map batch
+    # Pallas kernel flavor: "tilegrid" (grid over tiles, double-buffered
+    # manual chunk DMA) or "stream" (grid over 128-pair chunk slots)
+    compositor: str = "tilegrid"
 
 
-def _default_config(n: int, config: Optional[TileConfig]) -> TileConfig:
+def _default_config(
+    n: int, config: Optional[TileConfig], n_tiles: int
+) -> TileConfig:
     config = config or TileConfig()
     if config.max_pairs is None:
         mp = max(16 * n, 4096)
+        # Chunk-padding floor: the stream compositor lays every nonempty
+        # tile out as >= one 128-slot chunk in the same capacity array, so
+        # a sparse scene (few pairs, many touched tiles) can need up to
+        # 128 * n_tiles slots even when 16N is tiny.
+        mp = max(mp, 128 * n_tiles)
         mp = -(-mp // 128) * 128  # stream compositor needs a _CHUNK multiple
         config = dataclasses.replace(config, max_pairs=mp)
+    elif config.max_pairs % 128 != 0:
+        # User-built configs with a non-_CHUNK-multiple capacity would
+        # silently truncate the last partial chunk in composite_pallas's
+        # n_slots = max_pairs // 128; round up instead.
+        config = dataclasses.replace(
+            config, max_pairs=-(-config.max_pairs // 128) * 128
+        )
     return config
 
 
@@ -132,6 +149,10 @@ def bin_pairs(
       tile_of_pair: [max_pairs] tile id (n_tiles for invalid pairs)
       starts: [n_tiles] first pair index of each tile
       tile_cnt: [n_tiles] pairs per tile (clamped to max_per_tile)
+      dropped: scalar i32, pairs silently lost to static capacities
+        (expansion past max_pairs + per-tile clamp past max_per_tile);
+        SURVEY §7 hard-part 1 — a dropped Gaussian biases training, so
+        the count is surfaced for the trainers to log
       (n_tx, n_ty)
     """
     ts = config.tile_size
@@ -213,8 +234,12 @@ def bin_pairs(
         lo = jnp.where(go, mid + 1, lo)
         hi = jnp.where(active & ~go, mid, hi)
     starts = lo[:n_tiles]
-    tile_cnt = jnp.minimum(lo[1:] - starts, config.max_per_tile)
-    return order, g_sorted, tile_sorted, starts, tile_cnt, (n_tx, n_ty)
+    raw_cnt = lo[1:] - starts
+    tile_cnt = jnp.minimum(raw_cnt, config.max_per_tile)
+    dropped = jnp.maximum(total - config.max_pairs, 0) + jnp.sum(
+        jnp.maximum(raw_cnt - config.max_per_tile, 0)
+    )
+    return order, g_sorted, tile_sorted, starts, tile_cnt, dropped, (n_tx, n_ty)
 
 
 def bin_gaussians(
@@ -228,14 +253,14 @@ def bin_gaussians(
       tile_gather: [n_tiles, max_per_tile] indices into depth-sorted arrays
       tile_mask: [n_tiles, max_per_tile] bool validity
     """
-    order, g_sorted, _, starts, tile_cnt, dims = bin_pairs(
+    order, g_sorted, _, starts, tile_cnt, dropped, dims = bin_pairs(
         proj, width, height, config
     )
     m_idx = jnp.arange(config.max_per_tile, dtype=jnp.int32)
     gather_pos = jnp.clip(starts[:, None] + m_idx[None, :], 0, config.max_pairs - 1)
     tile_gather = g_sorted[gather_pos]  # [n_tiles, M]
     tile_mask = m_idx[None, :] < tile_cnt[:, None]
-    return order, tile_gather, tile_mask, dims
+    return order, tile_gather, tile_mask, dropped, dims
 
 
 def composite_tiled(
@@ -250,10 +275,11 @@ def composite_tiled(
     """Tiled front-to-back compositing. Same semantics as the oracle."""
     n = proj.depths.shape[0]
     d = colors.shape[-1]
-    config = _default_config(n, config)
-    ts = config.tile_size
+    ts = (config or TileConfig()).tile_size
+    n_tiles0 = (-(-width // ts)) * (-(-height // ts))
+    config = _default_config(n, config, n_tiles0)
 
-    order, tile_gather, tile_mask, (n_tx, n_ty) = bin_gaussians(
+    order, tile_gather, tile_mask, dropped, (n_tx, n_ty) = bin_gaussians(
         proj, width, height, config
     )
     # Depth-sorted per-Gaussian data (binning indexes into the sorted arrays)
@@ -322,7 +348,10 @@ def composite_tiled(
     image = _untile(imgs, n_tx, n_ty, ts, width, height)
     alpha = _untile(alphas[..., None], n_tx, n_ty, ts, width, height)
     depth = _untile(depths_img[..., None], n_tx, n_ty, ts, width, height)
-    return RenderOutput(image=image, alpha=alpha, depth=depth, radii=proj.radii)
+    return RenderOutput(
+        image=image, alpha=alpha, depth=depth, radii=proj.radii,
+        dropped_pairs=dropped,
+    )
 
 
 def _untile(x, n_tx, n_ty, ts, width, height):
@@ -358,15 +387,17 @@ def composite_pallas(
     owner of a padded slot run is the max colliding tile id)."""
     from egogaussian_tpu.render.pallas_raster import (
         make_stream_compositor,
+        make_tilegrid_compositor,
         _CHUNK,
     )
 
     n = proj.depths.shape[0]
     d = colors.shape[-1]
-    config = _default_config(n, config)
-    ts = config.tile_size
+    ts = (config or TileConfig()).tile_size
+    n_tiles0 = (-(-width // ts)) * (-(-height // ts))
+    config = _default_config(n, config, n_tiles0)
 
-    order, g_sorted, _, starts, tile_cnt, (n_tx, n_ty) = bin_pairs(
+    order, g_sorted, _, starts, tile_cnt, dropped, (n_tx, n_ty) = bin_pairs(
         proj, width, height, config
     )
     n_tiles = n_tx * n_ty
@@ -375,6 +406,14 @@ def composite_pallas(
 
     padded_cnt = ((tile_cnt + _CHUNK - 1) // _CHUNK) * _CHUNK
     starts2 = jnp.cumsum(padded_cnt) - padded_cnt  # padded-layout starts
+    # Chunk padding rounds every nonempty tile up to a 128-slot multiple in
+    # the SAME pc-capacity array; when the padded total exceeds pc the
+    # trailing tiles' chunks are never laid out (the scatter below drops
+    # them) and their output blocks would come back as uninitialized
+    # memory. Detect those tiles, treat them like empty ones (masked to bg
+    # below), and count their pairs as dropped so trainers can see it.
+    overflowed = starts2 + padded_cnt > pc  # [n_tiles]
+    dropped = dropped + jnp.sum(jnp.where(overflowed, tile_cnt, 0))
 
     def stream(vals_t):
         # per-slot value of the owning tile: scatter at the tile's padded
@@ -385,7 +424,6 @@ def composite_pallas(
     q = jnp.arange(pc, dtype=jnp.int32)
     a_q = stream(starts)  # starts[owner(q)]
     b_q = stream(starts2)  # starts2[owner(q)]
-    t_q = stream(jnp.arange(n_tiles, dtype=jnp.int32))
     p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
 
     packed = jnp.concatenate(
@@ -400,30 +438,57 @@ def composite_pallas(
     )[order]
     vals = packed[g_sorted[p_q]]  # [PC, 7+D]
 
-    t_chunk = t_q[::_CHUNK]
-    rank_off = q[::_CHUNK] - b_q[::_CHUNK]
-    # row 3: index of the last OCCUPIED chunk slot, broadcast — the kernels
-    # clamp their vals-block index map to it so the (up to headroom x) pure-
-    # padding tail of the grid re-fetches one block instead of issuing a
-    # fresh ~5 KB DMA per step (per-step DMA latency dominates kernel time)
-    last_used = jnp.maximum(jnp.sum(padded_cnt) // _CHUNK - 1, 0)
-    meta = jnp.stack([
-        t_chunk, rank_off, tile_cnt[t_chunk],
-        jnp.full((n_slots,), last_used, jnp.int32),
-    ])
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    compositor = make_stream_compositor(
-        n_slots, n_tiles, d, ts, n_tx, interpret=interpret
-    )
+
+    if config.compositor == "tilegrid":
+        # Per-TILE meta; overflowed tiles are zero-count so the kernel never
+        # DMAs out of bounds, and their (unwritten) gradient slots are
+        # masked by the vjp via the fit-slot count in row 2.
+        fit_slots = jnp.sum(jnp.where(overflowed, 0, padded_cnt)) // _CHUNK
+        meta = jnp.stack([
+            jnp.where(overflowed, 0, starts2 // _CHUNK),
+            jnp.where(overflowed, 0, tile_cnt),
+            jnp.broadcast_to(fit_slots, (n_tiles,)),
+        ])
+        # transposed chunk layout [n_slots, ch16, 128] (Mosaic DMA blocks
+        # must be tile-aligned in the minor dims; see pallas_raster.py)
+        ch = vals.shape[-1]
+        ch16 = (ch + 7) // 8 * 8
+        vals = jnp.pad(vals, ((0, 0), (0, ch16 - ch))).reshape(
+            n_slots, _CHUNK, ch16
+        ).transpose(0, 2, 1)
+        compositor = make_tilegrid_compositor(
+            n_slots, n_tiles, d, ts, n_tx, interpret=interpret
+        )
+    else:
+        t_q = stream(jnp.arange(n_tiles, dtype=jnp.int32))
+        t_chunk = t_q[::_CHUNK]
+        rank_off = q[::_CHUNK] - b_q[::_CHUNK]
+        # row 3: index of the last OCCUPIED chunk slot, broadcast — the
+        # kernels clamp their vals-block index map to it so the (up to
+        # headroom x) pure-padding tail of the grid re-fetches one block
+        # instead of issuing a fresh ~5 KB DMA per step (per-step DMA
+        # latency dominates kernel time)
+        last_used = jnp.clip(jnp.sum(padded_cnt) // _CHUNK - 1, 0, n_slots - 1)
+        meta = jnp.stack([
+            t_chunk, rank_off, tile_cnt[t_chunk],
+            jnp.full((n_slots,), last_used, jnp.int32),
+        ])
+        compositor = make_stream_compositor(
+            n_slots, n_tiles, d, ts, n_tx, interpret=interpret
+        )
     img_t, alpha_t, depth_t = compositor(meta, vals, bg[None, :])
-    # tiles owning no chunk are never written by the kernel
-    empty = (tile_cnt == 0)[:, None, None]
+    # Tiles owning no chunk are never written by the kernel: empty tiles
+    # and (capacity-overflowed) tiles whose chunk run didn't fit in pc.
+    empty = ((tile_cnt == 0) | overflowed)[:, None, None]
     img_t = jnp.where(empty, bg[None, None, :], img_t)
     alpha_t = jnp.where(empty, 0.0, alpha_t)
     depth_t = jnp.where(empty, 0.0, depth_t)
     image = _untile(img_t, n_tx, n_ty, ts, width, height)
     alpha = _untile(alpha_t, n_tx, n_ty, ts, width, height)
     depth = _untile(depth_t, n_tx, n_ty, ts, width, height)
-    return RenderOutput(image=image, alpha=alpha, depth=depth, radii=proj.radii)
+    return RenderOutput(
+        image=image, alpha=alpha, depth=depth, radii=proj.radii,
+        dropped_pairs=dropped,
+    )

@@ -1,5 +1,8 @@
 """Pallas rasterizer tests (interpret mode on CPU): forward equivalence with
-the oracle and gradient equivalence with the tiled-XLA path."""
+the oracle and gradient equivalence with the tiled-XLA path, for BOTH
+kernel flavors (stream compositor and tile-grid DMA compositor)."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,13 +18,15 @@ CFG = TileConfig(max_per_tile=256, max_pairs=8192, tile_size=16)
 
 class TestPallasForward:
     @pytest.mark.parametrize("n", [1, 60])
-    def test_matches_oracle(self, n):
+    @pytest.mark.parametrize("comp", ["stream", "tilegrid"])
+    def test_matches_oracle(self, n, comp):
+        cfg = dataclasses.replace(CFG, compositor=comp)
         cam = make_camera(width=48, height=32)
         means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(11), n)
         a = render(cam, means, cov3d, ops, jnp.array([0.2, 0.1, 0.4]),
                    colors_precomp=colors, backend="oracle")
         b = render(cam, means, cov3d, ops, jnp.array([0.2, 0.1, 0.4]),
-                   colors_precomp=colors, backend="pallas", tile_config=CFG)
+                   colors_precomp=colors, backend="pallas", tile_config=cfg)
         np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image), atol=3e-4)
         np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha), atol=3e-4)
         np.testing.assert_allclose(np.asarray(b.depth), np.asarray(a.depth), atol=3e-3)
@@ -38,7 +43,9 @@ class TestPallasForward:
 
 
 class TestPallasBackward:
-    def test_grads_match_tiled(self):
+    @pytest.mark.parametrize("comp", ["stream", "tilegrid"])
+    def test_grads_match_tiled(self, comp):
+        cfg = dataclasses.replace(CFG, compositor=comp)
         cam = make_camera(width=32, height=32)
         means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(14), 40)
         target = jax.random.uniform(jax.random.PRNGKey(15), (3, 32, 32))
@@ -46,7 +53,7 @@ class TestPallasBackward:
 
         def loss(backend, m, c, o, cv):
             res = render(cam, m, cv, o, bg, colors_precomp=c,
-                         backend=backend, tile_config=CFG)
+                         backend=backend, tile_config=cfg)
             return (
                 jnp.mean((res.image - target) ** 2)
                 + 0.3 * jnp.mean(res.alpha)
@@ -76,3 +83,46 @@ class TestPallasBackward:
         g_t = jax.grad(lambda p: loss("tiled", p))(probe)
         g_p = jax.grad(lambda p: loss("pallas", p))(probe)
         np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_t), atol=2e-4)
+
+
+class TestCapacityOverflow:
+    """ADVICE r1: when the chunk-padded layout exceeds max_pairs, trailing
+    tiles' output blocks were uninitialized memory. Now they are masked to
+    background and counted in dropped_pairs."""
+
+    @pytest.mark.parametrize("comp", ["stream", "tilegrid"])
+    def test_overflow_masked_and_counted(self, comp):
+        # 60 gaussians over a 48x32 image -> several nonempty tiles; cap
+        # max_pairs to ONE chunk so everything past the first tile overflows
+        cfg = TileConfig(max_per_tile=128, max_pairs=128, tile_size=16,
+                         compositor=comp)
+        cam = make_camera(width=48, height=32)
+        means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(21), 60)
+        bg = jnp.array([0.25, 0.5, 0.75])
+        res = render(cam, means, cov3d, ops, bg, colors_precomp=colors,
+                     backend="pallas", tile_config=cfg)
+        img = np.asarray(res.image)
+        assert np.isfinite(img).all()
+        assert int(res.dropped_pairs) > 0
+        # overflowed tiles render exactly background / zero alpha
+        alpha = np.asarray(res.alpha)
+        # at least one tile beyond the first chunk exists and is masked
+        assert (alpha == 0).any()
+        # every pixel is either composited or exact bg in each channel
+        for c in range(3):
+            ch = img[c]
+            assert np.isfinite(ch).all()
+
+    def test_non_chunk_multiple_max_pairs_rounded(self):
+        # ADVICE r1 (low): user-built configs with max_pairs % 128 != 0
+        # previously truncated the last partial chunk; now rounded up
+        cfg = TileConfig(max_per_tile=128, max_pairs=1000, tile_size=16)
+        cam = make_camera(width=48, height=32)
+        means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(22), 40)
+        a = render(cam, means, cov3d, ops, jnp.zeros(3),
+                   colors_precomp=colors, backend="oracle")
+        b = render(cam, means, cov3d, ops, jnp.zeros(3),
+                   colors_precomp=colors, backend="pallas", tile_config=cfg)
+        np.testing.assert_allclose(
+            np.asarray(b.image), np.asarray(a.image), atol=3e-4
+        )
