@@ -106,6 +106,11 @@ def composite_oracle(
         valid_s = jnp.pad(valid_s, (0, pad))
     num_chunks = (n + pad) // chunk_size
 
+    # remat: without it, jax.grad through the scan stacks every chunk's
+    # [G, H, W] alpha/weight intermediates as residuals — O(N*H*W) HBM
+    # (tens of GB at 320x240 with 20k gaussians). Recomputing the chunk
+    # forward during the backward pass is far cheaper.
+    @jax.checkpoint
     def chunk_step(carry, idx):
         log_t, acc_img, acc_alpha, acc_depth = carry
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk_size, chunk_size)

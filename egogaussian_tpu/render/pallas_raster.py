@@ -2,28 +2,35 @@
 
 This is the TPU-native replacement for the CUDA forward/backward kernels of
 diff-gaussian-rasterization (SURVEY.md §2.2 row 1, §7 step 3/hard-part 1).
-Projection, binning and per-tile gathering stay in XLA (render/tiled.py —
+Projection, binning and pair gathering stay in XLA (render/tiled.py —
 gathers/scatters differentiate automatically and XLA does them well); the
-Pallas pair fuses the quadratic-form evaluation, transmittance scan, and
-color/depth accumulation that dominate the fwd+bwd cost:
+Pallas custom-VJP pairs fuse the quadratic-form evaluation, transmittance
+scan, and color/depth accumulation that dominate the fwd+bwd cost.
 
-  forward (per tile, grid over tiles):
-    alpha[M, P] = min(op * exp(-0.5 d^T Conic d), 0.99), zeroed < 1/255
-    logT = cumsum(log1p(-alpha))            # associative scan, VPU
-    w = alpha * exp(logT_excl)
-    img = w^T col  (MXU), depth = w^T z, alpha_out = sum w,
-    out_img += exp(logT_total) * bg
+Three kernel generations live here, newest first:
 
-  backward: recompute alpha/w/T (cheaper than storing [M, P] residuals in
-  HBM), then
-    dL/dw_i   = g_img . col_i + g_depth z_i + g_alpha
-    S_i       = sum_{j>i} w_j dL/dw_j + T_final * (g_img . bg)   # suffix
-    dL/dalpha = T_i dL/dw_i - S_i / (1 - alpha_i)
-    chain to (mu, conic, opacity, color, z) with MXU matmuls for the
-    color/depth terms and P-reductions for the geometry terms.
+  * TILE-GRID (make_tilegrid_compositor, the default via
+    TileConfig.compositor="tilegrid"): grid over tiles; each grid step
+    streams its tile's chunk run from the flat chunk-padded pair array in
+    HBM through an inner emit_pipeline (double-buffered DMA). Pair data is
+    stored TRANSPOSED per chunk ([n_slots, ch16, 128]) to satisfy Mosaic's
+    tile-aligned DMA minors; compute runs pixels-on-sublanes x
+    pairs-on-lanes. Transmittance is LINEAR-space (prefix products,
+    underflow == genuine saturation), and the backward is a single FORWARD
+    sweep: S(r) = total_wd - prefix_wd(r), with the per-pixel total
+    recovered from the saved outputs — no residual, no suffix scans, no
+    log/exp in the scan path.
+  * STREAM (make_stream_compositor): one grid step per 128-pair chunk of
+    the same flat layout; log-space transmittance carried in scratch
+    across steps of the same tile, single reverse-sweep backward.
+  * WINDOWED (make_tile_compositor / _chunked): per-tile [T, M] gather
+    windows; kept as the simplest reference kernels.
 
-The 1/255 and 0.99 gates match render/oracle.py exactly, so tiled-XLA,
-oracle, and Pallas paths are interchangeable (tests assert equivalence).
+Shared math: alpha = min(op * exp(-0.5 d^T Conic d), 0.99), zeroed below
+1/255;  w_i = alpha_i * prod_{j<i}(1-alpha_j);  dL/dalpha_i =
+T_i dL/dw_i - S_i/(1-alpha_i) with S_i the weighted suffix. The gates
+match render/oracle.py exactly, so tiled-XLA, oracle, and all Pallas
+flavors are interchangeable (tests assert equivalence).
 """
 from __future__ import annotations
 
@@ -843,14 +850,31 @@ def _chunk_alphas_T(blk, px, py, lane_ok):
     return alpha, raw, power, dx, dy
 
 
+def _prefix_prod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix PRODUCT along axis 1 (lanes) by shift-mult doubling.
+
+    Linear-space transmittance: underflow flushes to 0 exactly where the
+    tile is fully saturated (T < 1e-38 -> contributions below f32 anyway),
+    which removes every log1p/exp from the scan path. 1-alpha >= 0.01 so
+    no element is ever 0 until genuine saturation."""
+    n = x.shape[1]
+    k = 1
+    while k < n:
+        one = jnp.ones((x.shape[0], k), x.dtype)
+        x = x * jnp.concatenate([one, x[:, :-k]], axis=1)
+        k *= 2
+    return x
+
+
 def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
                          meta_ref,
                          vals_ref, bg_ref,
-                         img_ref, alpha_ref, depth_ref, logt_ref,
-                         acc_img, acc_a, acc_d, logT, cidx):
+                         img_ref, alpha_ref, depth_ref,
+                         acc_img, acc_a, acc_d, T_carry, cidx):
     """meta [3, T] i32: (chunk-start slot, pair count, n-fit-slots bcast).
     vals [n_slots, ch16, 128] stays in HBM; the tile's chunk run is
-    streamed through an inner emit_pipeline."""
+    streamed through an inner emit_pipeline. Transmittance is carried in
+    LINEAR space (see _prefix_prod_lanes)."""
     t = pl.program_id(0)
     ch16 = vals_ref.shape[1]
     start_slot = meta_ref[0, t]
@@ -863,16 +887,19 @@ def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
     acc_img[...] = jnp.zeros_like(acc_img)
     acc_a[...] = jnp.zeros_like(acc_a)
     acc_d[...] = jnp.zeros_like(acc_d)
-    logT[...] = jnp.zeros_like(logT)
+    T_carry[...] = jnp.ones_like(T_carry)
     cidx[0] = 0
 
     def process(blk, i):
         # blk [ch16, 128]: rows mu_x|mu_y|a|b|c|op|col*d|z|pad
         lane_ok = lane_iota + i * _CHUNK < cnt
         alpha, _, _, _, _ = _chunk_alphas_T(blk, px, py, lane_ok)
-        log1m = jnp.log1p(-alpha)  # [P, 128]
-        incl = _prefix_scan_lanes(log1m) + logT[...]
-        w = alpha * jnp.exp(incl - log1m)  # [P, 128]
+        one_minus = 1.0 - alpha  # >= 0.01 (ALPHA_MAX gate)
+        incl = _prefix_prod_lanes(one_minus)  # [P, 128]
+        excl = jnp.concatenate(
+            [jnp.ones((incl.shape[0], 1), incl.dtype), incl[:, :-1]], axis=1
+        )
+        w = alpha * (T_carry[...] * excl)  # [P, 128]
         acc_img[...] += jnp.concatenate(
             [
                 jnp.sum(w * blk[6 + j:7 + j], axis=1, keepdims=True)
@@ -882,7 +909,7 @@ def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
         )
         acc_a[...] += jnp.sum(w, axis=1, keepdims=True)
         acc_d[...] += jnp.sum(w * blk[6 + d:7 + d], axis=1, keepdims=True)
-        logT[...] = incl[:, _CHUNK - 1:]
+        T_carry[...] = T_carry[...] * incl[:, _CHUNK - 1:]
 
     if use_pipeline:
         def chunk_body(blk_ref):
@@ -907,23 +934,28 @@ def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
 
-    t_final = jnp.exp(logT[...])  # [P, 1]
-    img_ref[0, :, :] = acc_img[...] + t_final * bg_ref[0, :][None, :]
+    img_ref[0, :, :] = acc_img[...] + T_carry[...] * bg_ref[0, :][None, :]
     alpha_ref[0, :, :] = acc_a[...]
     depth_ref[0, :, :] = acc_d[...]
-    logt_ref[0, :, :] = logT[...]
 
 
 def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
                          meta_ref,
-                         vals_ref, bg_ref, logt_ref,
+                         vals_ref, bg_ref,
+                         img_ref, alpha_ref, depth_ref,
                          gimg_ref, galpha_ref, gdepth_ref,
                          dvals_ref,
-                         suf_log, suf_S, cidx):
-    """Reverse single sweep over the tile's chunks (suffix algebra as in
-    _bwd_kernel_chunked, transposed layout: pixels on sublanes, pairs on
-    lanes); the inner emit_pipeline streams chunk blocks back-to-front and
-    writes each chunk's gradient block out (exclusive per tile)."""
+                         T_carry, carry_wd, cidx):
+    """Single FORWARD sweep backward. The usual back-to-front suffix
+    S(r) = sum_{j>r} w_j dLdw_j is rewritten as total_wd - prefix(r),
+    where the per-pixel total is recovered from the SAVED outputs:
+
+      total_wd = (img - T_total*bg).gimg + depth*gdepth + alpha*galpha
+      T_total  = 1 - alpha_out
+
+    so the backward needs no residual, no suffix scans and no log/exp —
+    transmittance is carried forward in linear space exactly like the
+    forward kernel."""
     t = pl.program_id(0)
     ch16 = vals_ref.shape[1]
     start_slot = meta_ref[0, t]
@@ -933,32 +965,43 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
     px, py = _pixel_coords_col(t, ts, n_tx, dtype)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
 
-    suf_log[...] = jnp.zeros_like(suf_log)
-    suf_S[...] = jnp.zeros_like(suf_S)
+    T_carry[...] = jnp.ones_like(T_carry)
+    carry_wd[...] = jnp.zeros_like(carry_wd)
     cidx[0] = 0
 
     gimg = gimg_ref[0]  # [P, D]
     galpha = galpha_ref[0]  # [P, 1]
     gdepth = gdepth_ref[0]  # [P, 1]
     bg = bg_ref[0, :]  # [D]
-    logT_total = logt_ref[0]  # [P, 1]
-    base_S = jnp.exp(logT_total) * jnp.sum(
-        gimg * bg[None, :], axis=-1, keepdims=True
+    img_out = img_ref[0]  # [P, D]
+    alpha_out = alpha_ref[0]  # [P, 1]
+    depth_out = depth_ref[0]  # [P, 1]
+    T_total = 1.0 - alpha_out  # [P, 1]
+    g_dot_bg = jnp.sum(gimg * bg[None, :], axis=-1, keepdims=True)  # [P,1]
+    total_wd = (
+        jnp.sum((img_out - T_total * bg[None, :]) * gimg, axis=-1,
+                keepdims=True)
+        + depth_out * gdepth
+        + alpha_out * galpha
     )  # [P, 1]
+    base_S = T_total * g_dot_bg
 
     def process(blk, i):
         lane_ok = lane_iota + i * _CHUNK < cnt
         alpha, raw, power, dx, dy = _chunk_alphas_T(blk, px, py, lane_ok)
-        log1m = jnp.log1p(-alpha)  # [P, 128]
-        U = _suffix_scan_lanes(log1m) + suf_log[...]
-        T_excl = jnp.exp(logT_total - U)
+        one_minus = 1.0 - alpha
+        incl = _prefix_prod_lanes(one_minus)
+        excl = jnp.concatenate(
+            [jnp.ones((incl.shape[0], 1), incl.dtype), incl[:, :-1]], axis=1
+        )
+        T_excl = T_carry[...] * excl
         w = alpha * T_excl
         dld = blk[6 + d:7 + d] * gdepth + galpha  # [P, 128]
         for jj in range(d):
             dld = dld + blk[6 + jj:7 + jj] * gimg[:, jj:jj + 1]
         wd = w * dld
-        S = (_suffix_scan_lanes(wd) - wd) + suf_S[...] + base_S
-        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+        pre_wd = _prefix_scan_lanes(wd) + carry_wd[...]  # inclusive prefix
+        S = (total_wd - pre_wd) + base_S
         dalpha = T_excl * dld - S / one_minus
         gate = (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
         dalpha = jnp.where(gate, dalpha, 0.0)
@@ -983,33 +1026,31 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
         dblk = jnp.concatenate(
             [dmu_x, dmu_y, da, db, dc, dop] + dcols + [dz, pad], axis=0
         )  # [ch16, 128]
-        suf_log[...] += jnp.sum(log1m, axis=1, keepdims=True)
-        suf_S[...] += jnp.sum(wd, axis=1, keepdims=True)
+        T_carry[...] = T_carry[...] * incl[:, _CHUNK - 1:]
+        carry_wd[...] = pre_wd[:, _CHUNK - 1:]
         return dblk
 
     if use_pipeline:
         def chunk_body(blk_ref, dblk_ref):
-            j = cidx[0]
-            i = n_chunks - 1 - j  # chunks processed back-to-front
+            i = cidx[0]
             dblk_ref[0] = process(blk_ref[0], i)
-            cidx[0] = j + 1
+            cidx[0] = i + 1
 
-        def rev_index(j):
-            return (start_slot + jnp.maximum(n_chunks - 1 - j, 0), 0, 0)
+        def fwd_index(i):
+            return (start_slot + i, 0, 0)
 
         pipeline = pltpu.emit_pipeline(
             chunk_body,
             grid=(n_chunks,),
-            in_specs=[pl.BlockSpec((1, ch16, _CHUNK), rev_index)],
-            out_specs=[pl.BlockSpec((1, ch16, _CHUNK), rev_index)],
+            in_specs=[pl.BlockSpec((1, ch16, _CHUNK), fwd_index)],
+            out_specs=[pl.BlockSpec((1, ch16, _CHUNK), fwd_index)],
         )
 
         @pl.when(n_chunks > 0)
         def _():
             pipeline(vals_ref, dvals_ref)
     else:  # interpret mode: direct dynamic-index loads/stores
-        def body(j, _):
-            i = n_chunks - 1 - j
+        def body(i, _):
             dvals_ref[start_slot + i] = process(vals_ref[start_slot + i], i)
             return 0
 
@@ -1041,16 +1082,13 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
         return pl.BlockSpec((1, p, c_), lambda t, meta: (t, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    logt_spec = pl.BlockSpec((1, p, 1), lambda t, meta: (t, 0, 0),
-                             memory_space=pltpu.VMEM)
-
     fwd_call = pl.pallas_call(
         functools.partial(_tilegrid_fwd_kernel, n_tx, ts, d, not interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[vals_spec, bg_spec],
-            out_specs=(out_spec(d), out_spec(1), out_spec(1), logt_spec),
+            out_specs=(out_spec(d), out_spec(1), out_spec(1)),
             scratch_shapes=[
                 pltpu.VMEM((p, d), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),
@@ -1063,7 +1101,6 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
             jax.ShapeDtypeStruct((n_tiles, p, d), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
         ),
         interpret=interpret,
     )
@@ -1073,7 +1110,8 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[vals_spec, bg_spec, logt_spec,
+            in_specs=[vals_spec, bg_spec,
+                      out_spec(d), out_spec(1), out_spec(1),
                       out_spec(d), out_spec(1), out_spec(1)],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
@@ -1088,16 +1126,17 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
 
     @jax.custom_vjp
     def compositor(meta, vals, bg):
-        return fwd_call(meta, vals, bg)[:3]
+        return fwd_call(meta, vals, bg)
 
     def fwd(meta, vals, bg):
-        img, alpha, depth, logt = fwd_call(meta, vals, bg)
-        return (img, alpha, depth), (meta, vals, bg, logt)
+        img, alpha, depth = fwd_call(meta, vals, bg)
+        return (img, alpha, depth), (meta, vals, bg, img, alpha, depth)
 
     def bwd(res, g):
-        meta, vals, bg, logt = res
+        meta, vals, bg, img, alpha, depth = res
         gimg, galpha, gdepth = g
-        dvals = bwd_call(meta, vals, bg, logt, gimg, galpha, gdepth)
+        dvals = bwd_call(meta, vals, bg, img, alpha, depth,
+                         gimg, galpha, gdepth)
         # blocks beyond the fitting tiles' chunk runs were never written by
         # any grid step (empty tiles own no slots; overflowed tiles are
         # zero-count) — zero them so the upstream gather-VJP scatter-add

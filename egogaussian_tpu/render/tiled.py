@@ -41,6 +41,13 @@ class TileConfig:
     # Pallas kernel flavor: "tilegrid" (grid over tiles, double-buffered
     # manual chunk DMA) or "stream" (grid over 128-pair chunk slots)
     compositor: str = "tilegrid"
+    # Chunk-SLOT capacity (rows of the chunk-padded pair layout the pallas
+    # kernels iterate over). Defaults to max_pairs, but the padded total
+    # (sum of per-tile 128-rounded counts) and the raw pair total are
+    # different quantities — sizing them separately keeps the gather,
+    # transpose and kernel-grid costs proportional to the padded ESTIMATE
+    # instead of the (larger) sort capacity. Rounded up to 128.
+    max_slots: Optional[int] = None
 
 
 def _default_config(
@@ -124,16 +131,26 @@ def estimate_tile_config(
     max_per_tile = min(_next_pow2(max(int(p_occ * headroom), 128)), 4096)
     # The stream compositor lays tiles out chunk-padded in the same
     # max_pairs-capacity array: size for the padded total too.
-    ch = 128  # pallas_raster._CHUNK
+    from egogaussian_tpu.render.pallas_raster import _CHUNK as ch  # chunk size
     padded_total = int((-(-np.minimum(tile_cnt, max_per_tile) // ch) * ch).sum())
-    # Round max_pairs to a 32k multiple, NOT pow2: binning sort, the pair
-    # gather and the stream-kernel grid all scale with this capacity, and
-    # pow2 rounding on top of the headroom wastes up to 2x of each (measured
+    # Round capacities to 16k multiples, NOT pow2: binning sort, the pair
+    # gather and the kernel grid all scale with these capacities, and pow2
+    # rounding on top of the headroom wastes up to 2x of each (measured
     # 5.8 ms gather + 5.6 ms kernel at 53% padding on v5e).
-    max_pairs = max(int(max(total, padded_total) * headroom), 4096)
-    max_pairs = -(-max_pairs // 32768) * 32768
+    # max_pairs bounds what pair EXPANSION can emit (raw total);
+    # max_slots bounds the chunk-padded layout (padded total) — the two
+    # differ by ~50% at trained-scene occupancy, and every downstream cost
+    # scales with its own bound.
+    max_pairs = max(int(total * headroom), 4096)
+    max_pairs = -(-max_pairs // 16384) * 16384
+    # Padding (128-rounding per nonempty tile) does NOT scale with pair
+    # growth — denser scenes fill their tiles — so budget it additively:
+    # future padded total ~= future raw total + today's padding.
+    max_slots = max(int(total * headroom) + (padded_total - total), 4096)
+    max_slots = -(-max_slots // 16384) * 16384
     return TileConfig(
-        tile_size=ts, max_pairs=max_pairs, max_per_tile=max_per_tile
+        tile_size=ts, max_pairs=max_pairs, max_per_tile=max_per_tile,
+        max_slots=max_slots,
     )
 
 
@@ -401,30 +418,25 @@ def composite_pallas(
         proj, width, height, config
     )
     n_tiles = n_tx * n_ty
-    pc = config.max_pairs  # chunk-slot capacity (shared with pair capacity)
-    n_slots = pc // _CHUNK
+    # Two independent static capacities: max_pairs bounds the sorted pair
+    # array; sc (= n_slots * _CHUNK) bounds the chunk-PADDED layout the
+    # kernels iterate over. At trained-scene occupancy the padded total is
+    # ~1.5x the raw total, so sharing one capacity would oversize the pair
+    # sort by the padding factor (or the layout by the inverse).
+    sc = config.max_slots or config.max_pairs
+    sc = -(-sc // _CHUNK) * _CHUNK
+    n_slots = sc // _CHUNK
 
     padded_cnt = ((tile_cnt + _CHUNK - 1) // _CHUNK) * _CHUNK
     starts2 = jnp.cumsum(padded_cnt) - padded_cnt  # padded-layout starts
-    # Chunk padding rounds every nonempty tile up to a 128-slot multiple in
-    # the SAME pc-capacity array; when the padded total exceeds pc the
-    # trailing tiles' chunks are never laid out (the scatter below drops
-    # them) and their output blocks would come back as uninitialized
-    # memory. Detect those tiles, treat them like empty ones (masked to bg
-    # below), and count their pairs as dropped so trainers can see it.
-    overflowed = starts2 + padded_cnt > pc  # [n_tiles]
+    # Chunk padding rounds every nonempty tile up to a 128-slot multiple;
+    # when the padded total exceeds sc the trailing tiles' chunks are never
+    # laid out (the scatter below drops them) and their output blocks would
+    # come back as uninitialized memory. Detect those tiles, treat them
+    # like empty ones (masked to bg below), and count their pairs as
+    # dropped so trainers can see it.
+    overflowed = starts2 + padded_cnt > sc  # [n_tiles]
     dropped = dropped + jnp.sum(jnp.where(overflowed, tile_cnt, 0))
-
-    def stream(vals_t):
-        # per-slot value of the owning tile: scatter at the tile's padded
-        # start, take running max (all streams nondecreasing in tile id)
-        buf = jnp.zeros((pc,), jnp.int32).at[starts2].max(vals_t, mode="drop")
-        return jax.lax.cummax(buf)
-
-    q = jnp.arange(pc, dtype=jnp.int32)
-    a_q = stream(starts)  # starts[owner(q)]
-    b_q = stream(starts2)  # starts2[owner(q)]
-    p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
 
     packed = jnp.concatenate(
         [
@@ -436,10 +448,21 @@ def composite_pallas(
         ],
         axis=1,
     )[order]
-    vals = packed[g_sorted[p_q]]  # [PC, 7+D]
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    def stream(vals_t):
+        # per-slot value of the owning tile: scatter at the tile's padded
+        # start, take running max (all streams nondecreasing in tile id)
+        buf = jnp.zeros((sc,), jnp.int32).at[starts2].max(vals_t, mode="drop")
+        return jax.lax.cummax(buf)
+
+    q = jnp.arange(sc, dtype=jnp.int32)
+    a_q = stream(starts)  # starts[owner(q)]
+    b_q = stream(starts2)  # starts2[owner(q)]
+    p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
+    vals = packed[g_sorted[p_q]]  # [SC, 7+D]
 
     if config.compositor == "tilegrid":
         # Per-TILE meta; overflowed tiles are zero-count so the kernel never
