@@ -134,11 +134,10 @@ def _stage_iters_per_sec(width=640, height=480, n_iter=30):
     from egogaussian_tpu.config import Config
     from egogaussian_tpu.data import make_synthetic_video, stack_cameras
     from egogaussian_tpu.models import adam_init
-    from egogaussian_tpu.models.optim import gaussian_lr_tree
     from egogaussian_tpu.models.pose import identity_pose
     from egogaussian_tpu.train.common import auto_tile_config, pick_backend
     from egogaussian_tpu.train.static import _static_step
-    from egogaussian_tpu.train.coarse_pose import pose_step
+    from egogaussian_tpu.train.coarse_pose import coarse_step
     from egogaussian_tpu.train.fine_all import _fine_all_step
 
     model = _scene(N_GAUSSIANS)
@@ -155,12 +154,8 @@ def _stage_iters_per_sec(width=640, height=480, n_iter=30):
     batch = stack_cameras(vid.cameras[:4])
     cfg = Config()
     opt_state = adam_init(model.params)
-    lr_tree = gaussian_lr_tree(
-        model.params, jnp.int32(100), cfg.opt, 1.0, label_lr=0.0
-    )
     tile_cfg = auto_tile_config(model, batch.camera(0), headroom=1.5)
     backend = pick_backend(tile_cfg, "auto")
-    hand = batch.hand_masks[0]
     eye4, eye3 = jnp.eye(4), jnp.eye(3)
     pose = identity_pose()
     pose_opt = adam_init(pose)
@@ -175,26 +170,34 @@ def _stage_iters_per_sec(width=640, height=480, n_iter=30):
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
         return n_iter / (time.perf_counter() - t0)
 
+    # identity-prefixed accum tables ([F+1] for coarse's -1 sentinel,
+    # plain [F] for fine_all) — all LR choreography now runs IN-JIT from
+    # the traced iteration counter, so these steps time the real per-
+    # iteration work including the schedule
+    F = batch.num_frames
+    table_T = jnp.tile(eye4[None], (F + 1, 1, 1))
+    table_R = jnp.tile(eye3[None], (F + 1, 1, 1))
+
     stages = {}
     stages["static_std"] = timed(lambda: _static_step(
-        model, opt_state, batch, jnp.int32(0), hand, lr_tree, drop0,
-        mode="std", backend=backend, tile_config=tile_cfg,
+        model, opt_state, batch, 0, batch.hand_masks, 100, drop0,
+        mode="std", backend=backend, tile_config=tile_cfg, opt_cfg=cfg.opt,
     ))
-    stages["coarse_warmup"] = timed(lambda: pose_step(
-        model, opt_state, pose, pose_opt, batch, jnp.int32(0), eye4, eye3,
-        lr_tree, jnp.float32(1e-3), jnp.float32(1e-4), jnp.asarray(False),
-        drop0, train_pose=True, backend=backend, tile_config=tile_cfg,
-        grad_params=False,
+    stages["coarse_warmup"] = timed(lambda: coarse_step(
+        model, opt_state, pose, pose_opt, batch, 0, table_T, table_R, -1,
+        100, drop0, train_pose=True, first_frame=False, grad_params=False,
+        opt_cfg=cfg.opt, coarse_cfg=cfg.coarse, backend=backend,
+        tile_config=tile_cfg,
     ))
-    stages["coarse_full"] = timed(lambda: pose_step(
-        model, opt_state, pose, pose_opt, batch, jnp.int32(0), eye4, eye3,
-        lr_tree, jnp.float32(1e-3), jnp.float32(1e-4), jnp.asarray(True),
-        drop0, train_pose=True, backend=backend, tile_config=tile_cfg,
-        grad_params=True,
+    stages["coarse_full"] = timed(lambda: coarse_step(
+        model, opt_state, pose, pose_opt, batch, 0, table_T, table_R, -1,
+        25_600, drop0, train_pose=True, first_frame=False, grad_params=True,
+        opt_cfg=cfg.opt, coarse_cfg=cfg.coarse, backend=backend,
+        tile_config=tile_cfg,
     ))
     stages["fine_all"] = timed(lambda: _fine_all_step(
-        model, opt_state, batch, jnp.int32(0), eye4, eye3, lr_tree, drop0,
-        backend=backend, tile_config=tile_cfg,
+        model, opt_state, batch, 0, table_T[:F], table_R[:F], 100,
+        False, drop0, backend=backend, tile_config=tile_cfg, opt_cfg=cfg.opt,
     ))
     return {k: round(v, 2) for k, v in stages.items()}
 

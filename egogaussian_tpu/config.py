@@ -21,7 +21,7 @@ from argparse import ArgumentParser
 from typing import Optional
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ModelParams:
     """reference ModelParams (arguments/__init__.py:47-62)"""
 
@@ -37,7 +37,7 @@ class ModelParams:
     _shorthand = ("source_path", "model_path", "images", "resolution", "white_background")
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class PipelineParams:
     """reference PipelineParams (:64-69). compute_cov3D_python is vestigial
     here: our rasterizer always consumes python-side covariance (the pipeline
@@ -48,7 +48,7 @@ class PipelineParams:
     debug: bool = False
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class OptimizationParams:
     """reference OptimizationParams (:71-115)"""
 
@@ -92,7 +92,7 @@ class OptimizationParams:
     cb_train_iter: int = 30000
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class StaticParams:
     """reference StaticParams (:117-132), prefix `s_` stripped"""
 
@@ -105,7 +105,7 @@ class StaticParams:
     rewind_frames: int = 15
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class StaticBgParams:
     """reference StaticBgParams (:134-146), prefix `b_` stripped"""
 
@@ -115,7 +115,7 @@ class StaticBgParams:
     entropy_reg_iter: int = 10_000
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class CoarseParams:
     """reference CoarseParams (:148-175), prefix `c_` stripped"""
 
@@ -135,7 +135,7 @@ class CoarseParams:
     save_ply_every: int = 6
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class FineParams:
     """reference FineParams (:177-197), prefix `f_` stripped"""
 
@@ -152,7 +152,7 @@ class FineParams:
     min_opacity: float = 0.003
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class FineAllParams:
     """reference FineAllParams (:199-215), prefix `a_` stripped"""
 
@@ -165,7 +165,7 @@ class FineAllParams:
     densify_grad_threshold: float = 0.001
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class RenderParams:
     """TPU-build additions: rasterizer backend + capacity knobs (no reference
     twin — the CUDA rasterizer had no exposed tuning)."""
@@ -230,7 +230,9 @@ def extract_config(args, config: Optional[Config] = None) -> Config:
             if hasattr(args, key):
                 updates[f.name] = getattr(args, key)
         setattr(config, group_name, dataclasses.replace(group, **updates))
-    config.model.source_path = os.path.abspath(config.model.source_path)
+    config.model = dataclasses.replace(
+        config.model, source_path=os.path.abspath(config.model.source_path)
+    )
     return config
 
 

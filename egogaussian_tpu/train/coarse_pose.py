@@ -74,14 +74,7 @@ from egogaussian_tpu.train.static import (
 from egogaussian_tpu.utils.console import CONSOLE
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "train_pose", "lambda_image", "lambda_dssim", "lambda_l1_alpha",
-        "lambda_l2_alpha", "backend", "tile_config", "grad_params",
-    ),
-)
-def pose_step(
+def _pose_core(
     model: GaussianModel,
     opt_state,
     pose: ObjectPose,
@@ -104,7 +97,8 @@ def pose_step(
     tile_config=None,
     grad_params: bool = True,
 ):
-    """One pose-optimization iteration (shared by stages 2 and 3).
+    """One pose-optimization iteration (shared core of stages 2 and 3 —
+    always called from inside a stage-level jit).
     grad_params=False skips the Gaussian-parameter backward entirely (the
     coarse warm-up trains pose only for 20k of 30k iters — no point paying
     for param gradients that meet zero learning rates)."""
@@ -166,41 +160,47 @@ def pose_step(
             jnp.maximum(drop_max, dropped))
 
 
-def _coarse_xyz_lr(it: int, cfg: Config, spatial: float, first_frame: bool) -> float:
-    """xyz LR choreography for the coarse stage (coarse_obj_pose.py:178-196)."""
-    cp = cfg.coarse
-    base = cfg.opt.position_lr_init * spatial / 10.0
-    if it < cp.warm_up_iter:
-        return base if first_frame else 0.0
-    if it <= cp.densify_from_iter:
-        return base / 10.0
-    return float(
-        expon_lr(
-            jnp.asarray(it - cp.densify_from_iter, jnp.float32),
-            base,
-            cfg.opt.position_lr_final * spatial / 10.0,
-            lr_delay_mult=cfg.opt.position_lr_delay_mult,
-            max_steps=cfg.opt.position_lr_max_steps,
-        )
-    )
+pose_step = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "train_pose", "lambda_image", "lambda_dssim", "lambda_l1_alpha",
+        "lambda_l2_alpha", "backend", "tile_config", "grad_params",
+    ),
+)(_pose_core)
 
 
-def _coarse_lr_tree(model, it, cfg: Config, first_frame: bool):
+def _coarse_lr_tree(model, it, opt, cp, first_frame: bool):
     """Gaussian-field LR tree for the coarse stage: /10 dividers, opacity NOT
     divided (train_coarse_obj_setup, gaussian_model.py:810-849); zeroed
-    during warm-up unless it's the first frame of the phase."""
-    cp = cfg.coarse
-    o = cfg.opt
-    active = first_frame or it >= cp.warm_up_iter
-    z = 0.0
+    during warm-up unless it's the first frame of the phase; xyz choreography
+    per coarse_obj_pose.py:178-196. `it` is TRACED — the whole tree is
+    computed inside the stage jit (host-side eager LR ops over the remote-TPU
+    tunnel cost more than the compiled step itself)."""
+    spatial = model.spatial_lr_scale
+    base = opt.position_lr_init * spatial / 10.0
+    xyz_expon = expon_lr(
+        jnp.asarray(it - cp.densify_from_iter, jnp.float32),
+        base,
+        opt.position_lr_final * spatial / 10.0,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps,
+    )
+    xyz_warm = jnp.float32(base if first_frame else 0.0)
+    xyz = jnp.where(
+        it < cp.warm_up_iter,
+        xyz_warm,
+        jnp.where(it <= cp.densify_from_iter, base / 10.0, xyz_expon),
+    )
+    # non-xyz fields: active outside warm-up (or on the phase's first frame)
+    af = 1.0 if first_frame else jnp.where(it >= cp.warm_up_iter, 1.0, 0.0)
     lrs = dict(
-        xyz=_coarse_xyz_lr(it, cfg, model.spatial_lr_scale, first_frame) if active else z,
-        features_dc=o.feature_lr / 10.0 if active else z,
-        features_rest=o.feature_lr / 20.0 / 10.0 if active else z,
-        log_scales=o.scaling_lr / 10.0 if active else z,
-        quats=o.rotation_lr / 10.0 if active else z,
-        opacity_logit=o.opacity_lr if active else z,
-        label=z,
+        xyz=xyz,
+        features_dc=opt.feature_lr / 10.0 * af,
+        features_rest=opt.feature_lr / 20.0 / 10.0 * af,
+        log_scales=opt.scaling_lr / 10.0 * af,
+        quats=opt.rotation_lr / 10.0 * af,
+        opacity_logit=opt.opacity_lr * af,
+        label=jnp.float32(0.0),
     )
     return dataclasses.replace(
         jax.tree_util.tree_map(lambda x: 0.0, model.params),
@@ -208,13 +208,76 @@ def _coarse_lr_tree(model, it, cfg: Config, first_frame: bool):
     )
 
 
-def _pose_lrs(it: int, cfg: Config) -> Tuple[float, float]:
+def _coarse_pose_lrs(it, opt, cp):
     """Pose LR: active until densify_from, frozen in the window, restored
-    after densify_until (coarse_obj_pose.py:185-192)."""
-    cp = cfg.coarse
-    if cp.densify_from_iter <= it < cp.densify_until_iter:
-        return 0.0, 0.0
-    return cfg.opt.obj_translation_lr, cfg.opt.obj_rotation_lr
+    after densify_until (coarse_obj_pose.py:185-192). `it` may be traced."""
+    in_window = (it >= cp.densify_from_iter) & (it < cp.densify_until_iter)
+    return (
+        jnp.where(in_window, 0.0, opt.obj_translation_lr),
+        jnp.where(in_window, 0.0, opt.obj_rotation_lr),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "train_pose", "first_frame", "grad_params", "opt_cfg", "coarse_cfg",
+        "backend", "tile_config",
+    ),
+)
+def coarse_step(
+    model: GaussianModel,
+    opt_state,
+    pose: ObjectPose,
+    pose_opt_state,
+    batch: FrameBatch,
+    cam_idx: jnp.ndarray,
+    table_T: jnp.ndarray,
+    table_R: jnp.ndarray,
+    fixed_idx: jnp.ndarray,
+    it: jnp.ndarray,
+    drop_max,
+    train_pose: bool,
+    first_frame: bool,
+    grad_params: bool,
+    opt_cfg=None,
+    coarse_cfg=None,
+    backend: str = "tiled",
+    tile_config=None,
+):
+    """Stage-2 iteration: the full per-iteration LR choreography (gaussian
+    tree, pose LR freeze window, densify-stat gating) runs IN-JIT from the
+    traced iteration counter; the fixed accumulated transform is gathered
+    from identity-prefixed per-frame tables ([F+1,4,4]/[F+1,3,3], row 0 =
+    identity for "no prefix") by the traced `fixed_idx + 1`."""
+    cp = coarse_cfg
+    lr_tree = _coarse_lr_tree(model, it, opt_cfg, cp, first_frame)
+    plr_t, plr_r = _coarse_pose_lrs(it, opt_cfg, cp)
+    return _pose_core(
+        model, opt_state, pose, pose_opt_state, batch, cam_idx,
+        table_T[fixed_idx + 1], table_R[fixed_idx + 1], lr_tree,
+        plr_t, plr_r, it > cp.warm_up_iter, drop_max,
+        train_pose=train_pose,
+        lambda_image=cp.lambda_image,
+        lambda_dssim=cp.lambda_dssim,
+        lambda_l1_alpha=cp.lambda_Ll1_alpha,
+        lambda_l2_alpha=cp.lambda_Ll2_alpha,
+        backend=backend,
+        tile_config=tile_config,
+        grad_params=grad_params,
+    )
+
+
+@jax.jit
+def _accum_tables(pose_seq: PoseSequence):
+    """Identity-prefixed accumulated-transform tables for traced gathers:
+    row i+1 holds the accumulation through frame i, row 0 the identity."""
+    T = pose_seq.accum_T()
+    R = pose_seq.accum_R()
+    return (
+        jnp.concatenate([jnp.eye(4, dtype=T.dtype)[None], T]),
+        jnp.concatenate([jnp.eye(3, dtype=R.dtype)[None], R]),
+    )
 
 
 def estimate_coarse_obj_pose(
@@ -283,15 +346,10 @@ def estimate_coarse_obj_pose(
         for i, f_cur in enumerate(frames):
             if f_cur in solved_names:
                 continue  # frame-granular resume: already solved
-            # fixed accumulated transform up to the previous frame
-            accum_T = np.asarray(pose_seq.accum_T())
-            accum_R = np.asarray(pose_seq.accum_R())
-            fixed_T_cur = jnp.asarray(
-                accum_T[f_cur - 1] if f_cur > 0 else np.eye(4, dtype=np.float32)
-            )
-            fixed_R_cur = jnp.asarray(
-                accum_R[f_cur - 1] if f_cur > 0 else np.eye(3, dtype=np.float32)
-            )
+            # device-resident accumulated-transform tables, built ONCE per
+            # frame-solve (only already-solved frames are ever gathered, and
+            # those rows don't change while f_cur trains)
+            table_T, table_R = _accum_tables(pose_seq)
 
             # previous-frame sampling pool (static 1x, solved dynamic 2x;
             # only frames with a nonempty object mask)
@@ -336,30 +394,18 @@ def estimate_coarse_obj_pose(
                     cam_idx = pool[rng.choice(len(pool), p=weights)]
                     train_p = False
 
-                lr_tree = _coarse_lr_tree(model, it, cfg, first_frame)
-                plr_t, plr_r = _pose_lrs(it, cfg)
-                if train_p:
-                    fixed_T, fixed_R = fixed_T_cur, fixed_R_cur
-                else:
-                    fixed_T = jnp.asarray(accum_T[cam_idx])
-                    fixed_R = jnp.asarray(accum_R[cam_idx])
-                model, opt_state, pose, pose_opt, loss, radii, drop_max = pose_step(
+                fixed_idx = (f_cur - 1) if train_p else cam_idx
+                model, opt_state, pose, pose_opt, loss, radii, drop_max = coarse_step(
                     model, opt_state, pose, pose_opt, batch,
-                    jnp.int32(cam_idx), fixed_T, fixed_R, lr_tree,
-                    jnp.float32(plr_t), jnp.float32(plr_r),
-                    jnp.asarray(it > cp.warm_up_iter),
-                    drop_max,
+                    cam_idx, table_T, table_R, fixed_idx, it, drop_max,
                     train_pose=train_p,
-                    lambda_image=cp.lambda_image,
-                    lambda_dssim=cp.lambda_dssim,
-                    lambda_l1_alpha=cp.lambda_Ll1_alpha,
-                    lambda_l2_alpha=cp.lambda_Ll2_alpha,
+                    first_frame=first_frame,
+                    grad_params=first_frame or it >= cp.warm_up_iter,
+                    opt_cfg=cfg.opt,
+                    coarse_cfg=cp,
                     backend=backend,
                     tile_config=tile_cfg,
-                    grad_params=first_frame or it >= cp.warm_up_iter,
                 )
-                if train_p:
-                    pose_seq = pose_seq.update_frame(f_cur, pose)
 
                 # --- densification window (coarse_obj_pose.py:324-337) ---
                 if it < cp.densify_until_iter and it > cp.densify_from_iter:
@@ -391,6 +437,10 @@ def estimate_coarse_obj_pose(
                             model, opt_state, which_object=1
                         )
 
+            # write the solved delta back ONCE per frame (the inner loop's
+            # trained pose never feeds back into this frame's own fixed
+            # prefix, so per-iteration write-backs were pure host overhead)
+            pose_seq = pose_seq.update_frame(f_cur, pose)
             solved_names[f_cur] = cameras[f_cur].image_name
             ckpt.maybe_save(
                 len(solved_names), (model, pose_seq), rng,

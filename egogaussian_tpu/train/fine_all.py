@@ -33,28 +33,62 @@ from egogaussian_tpu.train.common import (
     mask_grad,
     render_gaussians,
 )
-from egogaussian_tpu.train.static import _log_dropped_pairs, _reset_opacity_jit
+from egogaussian_tpu.models.densify import reset_opacity
+from egogaussian_tpu.train.static import _log_dropped_pairs
 from egogaussian_tpu.utils.console import CONSOLE
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lambda_dssim", "backend", "tile_config")
+    jax.jit, static_argnames=("lambda_dssim", "backend", "tile_config",
+                              "opt_cfg")
 )
 def _fine_all_step(
     model: GaussianModel,
     opt_state,
     batch: FrameBatch,
     cam_idx: jnp.ndarray,
-    fixed_T: jnp.ndarray,
-    fixed_R: jnp.ndarray,
-    lr_tree,
+    accum_T: jnp.ndarray,
+    accum_R: jnp.ndarray,
+    it: jnp.ndarray,
+    clamp_opacity: jnp.ndarray,
     drop_max=0,
     lambda_dssim: float = 0.2,
     backend: str = "tiled",
     tile_config=None,
+    opt_cfg=None,
 ):
+    """One stage-5 iteration. The frozen per-frame pose is gathered in-jit
+    from the device-resident accumulated tables ([F,4,4]/[F,3,3]); the LR
+    tree (train_fine_all_setup with divide_3dgs_lr_by=1, fine_all.py:55 +
+    per-iteration xyz expon schedule) is computed in-jit from the traced
+    iteration counter; `clamp_opacity` applies the reference's stray
+    opacity clamp (fine_all.py:121-124) inside the same dispatch."""
     cam, gt, hand, _ = batch.frame(cam_idx)
     bg = jnp.zeros(3, model.params.xyz.dtype)
+    fixed_T = accum_T[cam_idx]
+    fixed_R = accum_R[cam_idx]
+    o = opt_cfg
+    spatial = model.spatial_lr_scale
+    xyz_lr = expon_lr(
+        jnp.asarray(it, jnp.float32),
+        o.position_lr_init * spatial,
+        o.position_lr_final * spatial,
+        lr_delay_mult=o.position_lr_delay_mult,
+        max_steps=o.position_lr_max_steps,
+    )
+    lrs = dict(
+        xyz=xyz_lr,
+        features_dc=o.feature_lr,
+        features_rest=o.feature_lr / 20.0,
+        log_scales=o.scaling_lr,
+        quats=o.rotation_lr,
+        opacity_logit=o.opacity_lr,
+        label=0.0,
+    )
+    lr_tree = dataclasses.replace(
+        jax.tree_util.tree_map(lambda x: 0.0, model.params),
+        **{k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
+    )
 
     def loss_fn(params):
         m = dataclasses.replace(model, params=params)
@@ -69,37 +103,13 @@ def _fine_all_step(
         model.params
     )
     new_params, new_opt = adam_update(model.params, grads, opt_state, lr_tree)
-    return (dataclasses.replace(model, params=new_params), new_opt, loss,
-            jnp.maximum(drop_max, dropped))
-
-
-def _fine_all_lr_tree(model, it: int, cfg: Config):
-    """train_fine_all_setup with divide_3dgs_lr_by=1 (fine_all.py:55) + the
-    per-iteration xyz expon schedule."""
-    o = cfg.opt
-    spatial = model.spatial_lr_scale
-    xyz_lr = float(
-        expon_lr(
-            jnp.asarray(it, jnp.float32),
-            o.position_lr_init * spatial,
-            o.position_lr_final * spatial,
-            lr_delay_mult=o.position_lr_delay_mult,
-            max_steps=o.position_lr_max_steps,
-        )
+    model = dataclasses.replace(model, params=new_params)
+    clamped_model, clamped_opt = reset_opacity(model, new_opt)
+    model, new_opt = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(clamp_opacity, b, a),
+        (model, new_opt), (clamped_model, clamped_opt),
     )
-    lrs = dict(
-        xyz=xyz_lr,
-        features_dc=o.feature_lr,
-        features_rest=o.feature_lr / 20.0,
-        log_scales=o.scaling_lr,
-        quats=o.rotation_lr,
-        opacity_logit=o.opacity_lr,
-        label=0.0,
-    )
-    return dataclasses.replace(
-        jax.tree_util.tree_map(lambda x: 0.0, model.params),
-        **{k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
-    )
+    return model, new_opt, loss, jnp.maximum(drop_max, dropped)
 
 
 def fine_tune_all(
@@ -130,8 +140,9 @@ def fine_tune_all(
     opt_state = adam_init(model.params)
     tile_cfg = auto_tile_config(model, batch.camera(0))
     backend = pick_backend(tile_cfg, backend)
-    accum_T = np.asarray(pose_seq.accum_T())
-    accum_R = np.asarray(pose_seq.accum_R())
+    # pose frozen all stage: accumulate ONCE, keep device-resident
+    accum_T = pose_seq.accum_T()
+    accum_R = pose_seq.accum_R()
 
     # mid-stage checkpoint/resume (iteration-granular; no densification in
     # this stage so the capacity is fixed by combine_models and the saved
@@ -159,17 +170,17 @@ def fine_tune_all(
             cam_idx = static_phase_frames[0][0]
         else:
             cam_idx = int(frames[rng.choice(len(frames), p=weights)])
-        lr_tree = _fine_all_lr_tree(model, it, cfg)
-        model, opt_state, loss, drop_max = _fine_all_step(
-            model, opt_state, batch, jnp.int32(cam_idx),
-            jnp.asarray(accum_T[cam_idx]), jnp.asarray(accum_R[cam_idx]),
-            lr_tree, drop_max, lambda_dssim=ap.lambda_dssim, backend=backend,
-            tile_config=tile_cfg,
+        # the reference's stray opacity clamp (fine_all.py:121-124) runs
+        # inside the step under a traced flag — no second dispatch
+        clamp = (
+            ap.densify_from_iter < it < ap.densify_until_iter
+            and bool(it % ap.opacity_reset_interval)
         )
-        # the reference's stray opacity clamp (fine_all.py:121-124)
-        if ap.densify_from_iter < it < ap.densify_until_iter:
-            if it % ap.opacity_reset_interval:
-                model, opt_state = _reset_opacity_jit(model, opt_state)
+        model, opt_state, loss, drop_max = _fine_all_step(
+            model, opt_state, batch, cam_idx, accum_T, accum_R, it, clamp,
+            drop_max, lambda_dssim=ap.lambda_dssim, backend=backend,
+            tile_config=tile_cfg, opt_cfg=cfg.opt,
+        )
         ckpt.maybe_save(
             it, (model, opt_state), rng, jax.random.PRNGKey(0)
         )

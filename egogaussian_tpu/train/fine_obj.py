@@ -19,6 +19,7 @@ from the static-phase object PLY and once from the coarse-stage PLY):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -36,7 +37,7 @@ from egogaussian_tpu.models.pose import (
     pose_from_rt,
     save_pose_sequence,
 )
-from egogaussian_tpu.train.coarse_pose import pose_step
+from egogaussian_tpu.train.coarse_pose import _pose_core
 from egogaussian_tpu.train.static import (
     _densify_jit,
     _log_dropped_pairs,
@@ -45,33 +46,109 @@ from egogaussian_tpu.train.static import (
 from egogaussian_tpu.utils.console import CONSOLE
 
 
-def _fine_lr_tree(model, it: int, cfg: Config, divide_3dgs: float = 5.0):
+def _fine_lr_tree(model, it, opt, divide_3dgs: float = 5.0):
     """Gaussian LRs for fine_obj: /5 dividers, opacity not divided, xyz expon
-    schedule (train_fine_obj_setup + update_learning_rate per iter)."""
-    o = cfg.opt
+    schedule (train_fine_obj_setup + update_learning_rate per iter). `it`
+    may be traced — called from inside the stage jit."""
     spatial = model.spatial_lr_scale
-    xyz_lr = float(
-        expon_lr(
-            jnp.asarray(it, jnp.float32),
-            o.position_lr_init * spatial / divide_3dgs,
-            o.position_lr_final * spatial / divide_3dgs,
-            lr_delay_mult=o.position_lr_delay_mult,
-            max_steps=o.position_lr_max_steps,
-        )
+    xyz_lr = expon_lr(
+        jnp.asarray(it, jnp.float32),
+        opt.position_lr_init * spatial / divide_3dgs,
+        opt.position_lr_final * spatial / divide_3dgs,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps,
     )
     lrs = dict(
         xyz=xyz_lr,
-        features_dc=o.feature_lr / divide_3dgs,
-        features_rest=o.feature_lr / 20.0 / divide_3dgs,
-        log_scales=o.scaling_lr / divide_3dgs,
-        quats=o.rotation_lr / divide_3dgs,
-        opacity_logit=o.opacity_lr,
+        features_dc=opt.feature_lr / divide_3dgs,
+        features_rest=opt.feature_lr / 20.0 / divide_3dgs,
+        log_scales=opt.scaling_lr / divide_3dgs,
+        quats=opt.rotation_lr / divide_3dgs,
+        opacity_logit=opt.opacity_lr,
         label=0.0,
     )
     return dataclasses.replace(
         jax.tree_util.tree_map(lambda x: 0.0, model.params),
         **{k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "train_pose", "opt_cfg", "fine_cfg", "backend", "tile_config",
+    ),
+)
+def _fine_obj_step(
+    model: GaussianModel,
+    opt_state,
+    pose_seq: PoseSequence,
+    pose_opt,
+    batch,
+    cam_idx: jnp.ndarray,
+    it: jnp.ndarray,
+    drop_max,
+    train_pose: bool,
+    opt_cfg=None,
+    fine_cfg=None,
+    backend: str = "tiled",
+    tile_config=None,
+):
+    """Stage-3 iteration with the pose sequence DEVICE-RESIDENT: the frame's
+    stored delta is loaded in-jit, the accumulated transforms are recomputed
+    in-jit by the associative scan (O(F) tiny matmuls — noise next to the
+    render), and the trained delta is written back in-jit gated on the pose
+    LR being live. The previous host-side version synced the full accum
+    tables to numpy after every dynamic write-back and blocked on a float()
+    per iteration for the LR schedule — over the remote-TPU tunnel those
+    round trips cost more than the whole compiled step."""
+    fp = fine_cfg
+    accum_T = pose_seq.accum_T()
+    accum_R = pose_seq.accum_R()
+    eye4 = jnp.eye(4, dtype=accum_T.dtype)
+    eye3 = jnp.eye(3, dtype=accum_R.dtype)
+    if train_pose:
+        # load the frame's stored delta into the trainable pose
+        # (fine_obj.py:113-119 .data injection twin); fixed prefix is the
+        # accumulation through cam_idx - 1 (identity at frame 0)
+        pose = pose_from_rt(
+            pose_seq.rotations[cam_idx], pose_seq.translations[cam_idx]
+        )
+        prev = jnp.maximum(cam_idx - 1, 0)
+        fixed_T = jnp.where(cam_idx > 0, accum_T[prev], eye4)
+        fixed_R = jnp.where(cam_idx > 0, accum_R[prev], eye3)
+    else:
+        pose = ObjectPose(jnp.zeros(3, eye4.dtype), eye3[:, :2])
+        fixed_T = accum_T[cam_idx]
+        fixed_R = accum_R[cam_idx]
+
+    lr_tree = _fine_lr_tree(model, it, opt_cfg)
+    # pose LR: zero until densify_until, then full (fine_obj.py:90-95 +
+    # train_fine_obj_setup's zeroed groups)
+    pose_live = it >= fp.densify_until_iter
+    plr_t = jnp.where(pose_live, opt_cfg.obj_translation_lr, 0.0)
+    plr_r = jnp.where(pose_live, opt_cfg.obj_rotation_lr, 0.0)
+
+    model, opt_state, pose, pose_opt, loss, radii, drop_max = _pose_core(
+        model, opt_state, pose, pose_opt, batch, cam_idx,
+        fixed_T, fixed_R, lr_tree, plr_t, plr_r,
+        jnp.asarray(True), drop_max,
+        train_pose=train_pose,
+        lambda_image=fp.lambda_Ll1_image,
+        lambda_dssim=fp.lambda_dssim,
+        lambda_l1_alpha=fp.lambda_Ll1_alpha,
+        lambda_l2_alpha=fp.lambda_Ll2_alpha,
+        backend=backend,
+        tile_config=tile_config,
+    )
+    if train_pose and opt_cfg.obj_translation_lr > 0:
+        # write back (fine_obj.py:216-224) only once the pose LR is live —
+        # before densify_until the delta is untouched by construction
+        upd = pose_seq.update_frame(cam_idx, pose)
+        pose_seq = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(pose_live, b, a), pose_seq, upd
+        )
+    return model, opt_state, pose_seq, pose_opt, loss, radii, drop_max
 
 
 def fine_tune_obj(
@@ -137,9 +214,6 @@ def fine_tune_obj(
         tile_cfg = auto_tile_config(model, batch.camera(0))
         backend = pick_backend(tile_cfg, backend)
 
-    accum_T = np.asarray(pose_seq.accum_T())
-    accum_R = np.asarray(pose_seq.accum_R())
-
     drop_max = jnp.int32(0)
     for it in range(start_it + 1, fp.total_num_iter + 1):
         if it == 1:
@@ -147,52 +221,15 @@ def fine_tune_obj(
         else:
             cam_idx = int(frames[rng.choice(len(frames), p=weights)])
             train_p = cam_idx in dynamic_list
-        lr_tree = _fine_lr_tree(model, it, cfg)
-        # pose LR: zero until densify_until, then full (fine_obj.py:90-95 +
-        # train_fine_obj_setup's zeroed groups)
-        if it >= fp.densify_until_iter:
-            plr_t, plr_r = cfg.opt.obj_translation_lr, cfg.opt.obj_rotation_lr
-        else:
-            plr_t, plr_r = 0.0, 0.0
-
-        if train_p:
-            # load the frame's stored delta into the trainable pose
-            # (fine_obj.py:113-119 .data injection twin)
-            pose = pose_from_rt(
-                jnp.asarray(np.asarray(pose_seq.rotations)[cam_idx]),
-                jnp.asarray(np.asarray(pose_seq.translations)[cam_idx]),
-            )
-            fixed_T = jnp.asarray(
-                accum_T[cam_idx - 1] if cam_idx > 0 else np.eye(4, np.float32)
-            )
-            fixed_R = jnp.asarray(
-                accum_R[cam_idx - 1] if cam_idx > 0 else np.eye(3, np.float32)
-            )
-        else:
-            pose = ObjectPose(jnp.zeros(3), jnp.eye(3)[:, :2])
-            fixed_T = jnp.asarray(accum_T[cam_idx])
-            fixed_R = jnp.asarray(accum_R[cam_idx])
-
-        model, opt_state, pose, pose_opt, loss, radii, drop_max = pose_step(
-            model, opt_state, pose, pose_opt, batch,
-            jnp.int32(cam_idx), fixed_T, fixed_R, lr_tree,
-            jnp.float32(plr_t), jnp.float32(plr_r),
-            jnp.asarray(True),
-            drop_max,
+        model, opt_state, pose_seq, pose_opt, loss, radii, drop_max = _fine_obj_step(
+            model, opt_state, pose_seq, pose_opt, batch,
+            cam_idx, it, drop_max,
             train_pose=train_p,
-            lambda_image=fp.lambda_Ll1_image,
-            lambda_dssim=fp.lambda_dssim,
-            lambda_l1_alpha=fp.lambda_Ll1_alpha,
-            lambda_l2_alpha=fp.lambda_Ll2_alpha,
+            opt_cfg=cfg.opt,
+            fine_cfg=fp,
             backend=backend,
             tile_config=tile_cfg,
         )
-
-        if train_p and plr_t > 0:
-            # write back + refresh accums (fine_obj.py:216-224)
-            pose_seq = pose_seq.update_frame(cam_idx, pose)
-            accum_T = np.asarray(pose_seq.accum_T())
-            accum_R = np.asarray(pose_seq.accum_R())
 
         if it < fp.densify_until_iter and it > fp.densify_from_iter:
             if it % fp.densification_interval == 0:

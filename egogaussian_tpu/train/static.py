@@ -63,28 +63,52 @@ from egogaussian_tpu.utils.console import CONSOLE
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "lambda_dssim", "backend", "tile_config")
+    jax.jit,
+    static_argnames=(
+        "mode", "lambda_dssim", "backend", "tile_config", "opt_cfg",
+        "label_lr",
+    ),
 )
 def _static_step(
     model: GaussianModel,
     opt_state,
     batch: FrameBatch,
     frame_idx: jnp.ndarray,
-    grad_mask: jnp.ndarray,
-    lr_tree,
+    grad_masks: jnp.ndarray,
+    it: jnp.ndarray,
     drop_max=0,
     mode: str = "std",
     lambda_dssim: float = 0.2,
     backend: str = "tiled",
     tile_config=None,
     bg_color=None,
+    opt_cfg=None,
+    label_lr: float = 0.0,
 ):
     """One training iteration. mode in {"std", "entropy", "label"}.
     `bg_color`: optional traced [3] background (random_background support,
     reference OptimizationParams.random_background).
-    `grad_mask` [1,H,W]: pixels whose gradients are zeroed (hand, or
-    dilated hand|obj for the background stage)."""
+    `grad_masks` [F,1,H,W]: per-frame pixels whose gradients are zeroed
+    (hand, or dilated hand|obj for the background stage) — indexed by the
+    traced frame_idx IN-JIT.
+
+    The LR tree is computed INSIDE the step from the traced iteration
+    counter and the (static, hashable) OptimizationParams: building it on
+    the host dispatched ~8 tiny eager device ops per iteration, which over
+    the remote-TPU tunnel cost more than the whole compiled step (measured
+    ~2.4 it/s vs ~34 it/s at 480p)."""
     cam, gt, _, obj_mask = batch.frame(frame_idx)
+    grad_mask = grad_masks[frame_idx]
+    if mode == "label":
+        lr_tree = gaussian_lr_tree(
+            model.params, it, opt_cfg, model.spatial_lr_scale,
+            zero_gaussians=True,
+        )
+        lr_tree = dataclasses.replace(lr_tree, label=jnp.float32(label_lr))
+    else:
+        lr_tree = gaussian_lr_tree(
+            model.params, it, opt_cfg, model.spatial_lr_scale, label_lr=0.0
+        )
     bg = jnp.zeros(3, model.params.xyz.dtype) if bg_color is None else bg_color
     probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
 
@@ -264,29 +288,16 @@ def train_static(
             else:
                 mode = "label"
 
-            if mode == "label":
-                lr_tree = gaussian_lr_tree(
-                    model.params, jnp.int32(it), opt_cfg, model.spatial_lr_scale,
-                    zero_gaussians=True,
-                )
-                lr_tree = dataclasses.replace(
-                    lr_tree, label=jnp.float32(sp.label_lr)
-                )
-            else:
-                lr_tree = gaussian_lr_tree(
-                    model.params, jnp.int32(it), opt_cfg, model.spatial_lr_scale,
-                    label_lr=0.0,
-                )
-            hand = batch.hand_masks[fidx]
             bg_color = (
-                jnp.asarray(rng.rand(3), jnp.float32)
+                rng.rand(3).astype(np.float32)
                 if opt_cfg.random_background else None
             )
             model, opt_state, loss, radii, drop_max = _static_step(
-                model, opt_state, batch, jnp.int32(fidx), hand, lr_tree,
+                model, opt_state, batch, fidx, batch.hand_masks, it,
                 drop_max,
                 mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
-                tile_config=tile_cfg, bg_color=bg_color,
+                tile_config=tile_cfg, bg_color=bg_color, opt_cfg=opt_cfg,
+                label_lr=sp.label_lr,
             )
 
             # densification schedule (train_static.py:125-133)
@@ -455,15 +466,11 @@ def train_background(
     for it in range(start_it + 1, total_iters + 1):
         fidx = rng.randint(len(train_cams))
         mode = "std" if it <= bp.std_train_iter else "entropy"
-        lr_tree = gaussian_lr_tree(
-            model.params, jnp.int32(it), opt_cfg, model.spatial_lr_scale,
-            label_lr=0.0,
-        )
         model, opt_state, loss, radii, drop_max = _static_step(
-            model, opt_state, batch, jnp.int32(fidx), int_masks_j[fidx], lr_tree,
+            model, opt_state, batch, fidx, int_masks_j, it,
             drop_max,
             mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
-            tile_config=tile_cfg,
+            tile_config=tile_cfg, opt_cfg=opt_cfg,
         )
         if it <= bp.densify_until_iter:
             if it > bp.densify_from_iter and it % opt_cfg.densification_interval == 0:

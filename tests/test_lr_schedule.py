@@ -10,7 +10,7 @@ import numpy as np
 from egogaussian_tpu.config import Config
 from egogaussian_tpu.models import from_points
 from egogaussian_tpu.models.optim import expon_lr, gaussian_lr_tree
-from egogaussian_tpu.train.coarse_pose import _coarse_lr_tree, _coarse_xyz_lr, _pose_lrs
+from egogaussian_tpu.train.coarse_pose import _coarse_lr_tree, _coarse_pose_lrs
 
 
 def model_():
@@ -61,19 +61,34 @@ class TestStaticLRTree:
 
 class TestCoarseChoreography:
     """coarse_obj_pose.py:178-193 LR switching, as implemented in
-    _coarse_xyz_lr/_coarse_lr_tree/_pose_lrs."""
+    _coarse_lr_tree/_coarse_pose_lrs (traced-`it` in-jit versions)."""
 
     def setup_method(self):
         self.cfg = Config()  # warm_up 20k, densify 20.5k-25.5k
 
+    def _xyz(self, it, first_frame=False, spatial=2.0):
+        m = dataclasses.replace(model_(), spatial_lr_scale=spatial)
+        t = _coarse_lr_tree(m, jnp.int32(it), self.cfg.opt, self.cfg.coarse,
+                            first_frame)
+        return float(t.xyz)
+
+    def _plr(self, it):
+        t, r = _coarse_pose_lrs(jnp.int32(it), self.cfg.opt, self.cfg.coarse)
+        return float(t), float(r)
+
     def test_warmup_pose_only_for_later_frames(self):
-        t = _coarse_lr_tree(model_(), 100, self.cfg, first_frame=False)
+        t = _coarse_lr_tree(model_(), jnp.int32(100), self.cfg.opt,
+                            self.cfg.coarse, first_frame=False)
         assert float(t.xyz) == 0 and float(t.features_dc) == 0
-        plr = _pose_lrs(100, self.cfg)
-        assert plr == (self.cfg.opt.obj_translation_lr, self.cfg.opt.obj_rotation_lr)
+        np.testing.assert_allclose(
+            self._plr(100),
+            (self.cfg.opt.obj_translation_lr, self.cfg.opt.obj_rotation_lr),
+            rtol=1e-6,
+        )
 
     def test_first_frame_trains_shape_during_warmup(self):
-        t = _coarse_lr_tree(model_(), 100, self.cfg, first_frame=True)
+        t = _coarse_lr_tree(model_(), jnp.int32(100), self.cfg.opt,
+                            self.cfg.coarse, first_frame=True)
         base = self.cfg.opt.position_lr_init * 2.0 / 10.0
         np.testing.assert_allclose(float(t.xyz), base, rtol=1e-5)
         np.testing.assert_allclose(float(t.features_dc),
@@ -83,18 +98,20 @@ class TestCoarseChoreography:
                                    self.cfg.opt.opacity_lr, rtol=1e-5)
 
     def test_post_warmup_xyz_tenth(self):
-        lr = _coarse_xyz_lr(20_100, self.cfg, 2.0, first_frame=False)
+        lr = self._xyz(20_100)
         base = self.cfg.opt.position_lr_init * 2.0 / 10.0
         np.testing.assert_allclose(lr, base / 10.0, rtol=1e-5)
 
     def test_densify_window_freezes_pose_restores_xyz(self):
-        assert _pose_lrs(21_000, self.cfg) == (0.0, 0.0)
-        lr = _coarse_xyz_lr(20_501, self.cfg, 2.0, first_frame=False)
+        assert self._plr(21_000) == (0.0, 0.0)
+        lr = self._xyz(20_501)
         base = self.cfg.opt.position_lr_init * 2.0 / 10.0
         # expon schedule restarted at densify_from (step 1 of the schedule)
         assert base * 0.9 < lr <= base
 
     def test_pose_restored_after_densify(self):
-        assert _pose_lrs(25_500, self.cfg) == (
-            self.cfg.opt.obj_translation_lr, self.cfg.opt.obj_rotation_lr,
+        np.testing.assert_allclose(
+            self._plr(25_500),
+            (self.cfg.opt.obj_translation_lr, self.cfg.opt.obj_rotation_lr),
+            rtol=1e-6,
         )

@@ -91,13 +91,10 @@ class TestStaticStep:
         cfg = tiny_config()
         losses = []
         for it in range(1, 16):
-            lr_tree = gaussian_lr_tree(
-                model.params, jnp.int32(it), cfg.opt, 1.0, label_lr=0.0
-            )
             fidx = (it - 1) % 4
             model, opt_state, loss, radii, _ = _static_step(
-                model, opt_state, batch, jnp.int32(fidx),
-                batch.hand_masks[fidx], lr_tree, mode="std",
+                model, opt_state, batch, fidx,
+                batch.hand_masks, it, mode="std", opt_cfg=cfg.opt,
             )
             losses.append(float(loss))
         assert losses[-1] < losses[0]
@@ -108,13 +105,9 @@ class TestStaticStep:
         model = from_points(video.points, video.colors, capacity=512)
         opt_state = adam_init(model.params)
         cfg = tiny_config()
-        lr_tree = gaussian_lr_tree(
-            model.params, jnp.int32(1), cfg.opt, 1.0, zero_gaussians=True
-        )
-        lr_tree = dataclasses.replace(lr_tree, label=jnp.float32(0.01))
         m2, _, loss, _, _ = _static_step(
-            model, opt_state, batch, jnp.int32(0), batch.hand_masks[0],
-            lr_tree, mode="label",
+            model, opt_state, batch, 0, batch.hand_masks, 1,
+            mode="label", opt_cfg=cfg.opt, label_lr=0.01,
         )
         np.testing.assert_allclose(
             np.asarray(m2.params.xyz), np.asarray(model.params.xyz)
