@@ -202,11 +202,17 @@ def _stage_iters_per_sec(width=640, height=480, n_iter=30):
     return {k: round(v, 2) for k, v in stages.items()}
 
 
-def _kernel_max_err(width=320, height=240, n=20_000):
+def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal"):
     """Compiled-Mosaic Pallas kernels vs the jnp oracle: fwd channels and
     input gradients. Returns max errors; RAISES past tolerance (the bench
     is the only per-round artifact that runs on real TPU hardware, so this
-    is where kernel correctness is re-proven every round)."""
+    is where kernel correctness is re-proven every round).
+
+    scene="lognormal": the trained-scene splat proxy (shallow tiles).
+    scene="knn": a from_points kNN-init cloud like real training start —
+    broad low-alpha splats, deep multi-chunk tiles, many pairs near the
+    ALPHA_EPS threshold (the round-2 TPU verify drive found this shape is
+    NOT covered by the lognormal proxy)."""
     import dataclasses
 
     import jax
@@ -217,11 +223,19 @@ def _kernel_max_err(width=320, height=240, n=20_000):
         auto_tile_config, model_colors, pick_backend, render_gaussians,
     )
 
-    model = _scene(n, seed=3)
     vid = make_synthetic_video(
-        width=width, height=height, n_bg=64, n_obj=16,
-        frames_static=2, frames_dynamic=1,
+        width=width, height=height,
+        n_bg=2000 if scene == "knn" else 64,
+        n_obj=200 if scene == "knn" else 16,
+        frames_static=2, frames_dynamic=1, seed=7,
     )
+    if scene == "knn":
+        from egogaussian_tpu.models import from_points
+
+        model = from_points(vid.points, vid.colors, spatial_lr_scale=1.2,
+                            seed=0)
+    else:
+        model = _scene(n, seed=3)
     batch = stack_cameras(vid.cameras[:2])
     cam = batch.camera(0)
     tile_cfg = auto_tile_config(model, cam, headroom=1.5)
@@ -279,6 +293,9 @@ def _kernel_max_err(width=320, height=240, n=20_000):
 
 def main():
     errs = _kernel_max_err()
+    errs_knn = _kernel_max_err(width=160, height=120, scene="knn")
+    errs["knn_grad_rel"] = errs_knn["grad_rel"]
+    errs["knn_image"] = errs_knn["image"]
 
     ips_480 = _train_iters_per_sec(
         _scene(N_GAUSSIANS), 640, 480, n_warmup_train=300

@@ -126,3 +126,63 @@ class TestCapacityOverflow:
         np.testing.assert_allclose(
             np.asarray(b.image), np.asarray(a.image), atol=3e-4
         )
+
+
+class TestKnnSceneDeepTiles:
+    """Regression for the round-2 TPU verify finding: the tiny random-scene
+    tests above never exercise the configuration real training hits — a
+    kNN-initialized cloud whose broad low-alpha splats make every tile
+    deep (multi-chunk runs, many pairs near the ALPHA_EPS threshold).
+    Cover forward + training-loss gradients at that shape, for both
+    kernel flavors, against the tiled-XLA path."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("comp", ["stream", "tilegrid"])
+    def test_training_loss_grads_match_tiled(self, comp):
+        from egogaussian_tpu.config import Config
+        from egogaussian_tpu.data.readers import stack_cameras
+        from egogaussian_tpu.data.synthetic import make_synthetic_video
+        from egogaussian_tpu.models import from_points
+        from egogaussian_tpu.render.project import project_gaussians
+        from egogaussian_tpu.render.tiled import bin_pairs
+        from egogaussian_tpu.train.common import (
+            auto_tile_config, image_loss, mask_grad, render_gaussians,
+        )
+
+        vid = make_synthetic_video(width=96, height=72, n_bg=800, n_obj=100,
+                                   frames_static=3, frames_dynamic=2, seed=7)
+        batch = stack_cameras(vid.cameras[:2])
+        model = from_points(vid.points, vid.colors, spatial_lr_scale=1.2,
+                            seed=0)
+        tile_cfg = dataclasses.replace(
+            auto_tile_config(model, batch.camera(0)), compositor=comp)
+        cam, gt, hand, _ = batch.frame(0)
+
+        # the scene must actually produce multi-chunk tiles, else this test
+        # stops covering what it claims to
+        proj = project_gaussians(
+            model.params.xyz, model.covariance(), cam.viewmat, cam.fx,
+            cam.fy, cam.cx, cam.cy, 96, 72, valid_mask=model.aux.alive)
+        *_, tile_cnt, _, _ = jax.jit(
+            lambda p: bin_pairs(p, 96, 72, tile_cfg))(proj)
+        assert int(jnp.max(tile_cnt)) > 128, "scene no longer multi-chunk"
+
+        def loss_of(params, backend):
+            m = dataclasses.replace(model, params=params)
+            res = render_gaussians(m, cam, jnp.zeros(3), backend=backend,
+                                   tile_config=tile_cfg)
+            return image_loss(mask_grad(res.image, hand), gt, 0.2)
+
+        lt, g_t = jax.jit(jax.value_and_grad(
+            lambda p: loss_of(p, "tiled")))(model.params)
+        lp, g_p = jax.jit(jax.value_and_grad(
+            lambda p: loss_of(p, "pallas")))(model.params)
+        np.testing.assert_allclose(float(lp), float(lt), rtol=1e-4)
+        for f in ["xyz", "log_scales", "quats", "opacity_logit",
+                  "features_dc"]:
+            a = np.asarray(getattr(g_p, f))
+            b = np.asarray(getattr(g_t, f))
+            sc = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(
+                a, b, atol=2e-3 * sc,
+                err_msg=f"kNN-scene grad mismatch: {f}")
