@@ -183,6 +183,13 @@ def _stage_iters_per_sec(width=640, height=480, n_iter=30):
         model, opt_state, batch, 0, batch.hand_masks, 100, drop0,
         mode="std", backend=backend, tile_config=tile_cfg, opt_cfg=cfg.opt,
     ))
+    # frame-batched static step (StaticParams.frame_batch=4): one update
+    # over 4 frames — report in frames/sec so it is comparable
+    fidx4 = jnp.arange(4, dtype=jnp.int32)
+    stages["static_std_batch4_frames"] = 4 * timed(lambda: _static_step(
+        model, opt_state, batch, fidx4, batch.hand_masks, 100, drop0,
+        mode="std", backend=backend, tile_config=tile_cfg, opt_cfg=cfg.opt,
+    ))
     stages["coarse_warmup"] = timed(lambda: coarse_step(
         model, opt_state, pose, pose_opt, batch, 0, table_T, table_R, -1,
         100, drop0, train_pose=True, first_frame=False, grad_params=False,

@@ -103,6 +103,11 @@ class StaticParams:
     label_train_iter: int = 30_000
     label_lr: float = 0.001
     rewind_frames: int = 15
+    # TPU extension (no reference twin): frames rendered per optimizer
+    # update. >1 averages the photometric gradient over a minibatch of
+    # frames in ONE jitted step (variance-reduced update, amortized
+    # dispatch); densification statistics stay exact per frame.
+    frame_batch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +118,8 @@ class StaticBgParams:
     densify_from_iter: int = 500
     densify_until_iter: int = 60_000
     entropy_reg_iter: int = 10_000
+    # TPU extension: frames per optimizer update (see StaticParams)
+    frame_batch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

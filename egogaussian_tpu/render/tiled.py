@@ -88,6 +88,7 @@ def estimate_tile_config(
     height: int,
     tile_size: int = 16,
     headroom: float = 1.5,
+    opacities=None,
 ) -> TileConfig:
     """Host-side auto-tuning of the binning capacities from one projection.
 
@@ -96,6 +97,11 @@ def estimate_tile_config(
     1024 defaults are safe but waste 4-8x compute on typical trained scenes
     where splats are small. Call once per training phase (capacities are
     static jit args, so changing them recompiles — rare by design).
+
+    With `opacities`, the estimate uses the same opacity-aware AABB radius
+    as bin_pairs' cull, so the capacities track the CULLED pair stream (the
+    shrunk AABB is a superset of the exact ellipse-tested pairs, so this
+    stays a safe upper bound).
     """
     import numpy as np
 
@@ -105,6 +111,13 @@ def estimate_tile_config(
     mu = np.asarray(means2d)
     r = np.asarray(radii, np.float32)
     ok = r > 0
+    if opacities is not None:
+        op = np.asarray(opacities, np.float32).reshape(-1)
+        thr = np.log(np.maximum(op, 1e-30) / ALPHA_EPS)
+        ok = ok & (op >= ALPHA_EPS)
+        r = np.minimum(
+            r, (r / 3.0) * np.sqrt(np.maximum(2.0 * thr + 1e-3, 0.0))
+        )
     x0 = np.clip(np.floor((mu[:, 0] - r) / ts), 0, n_tx - 1)
     x1 = np.clip(np.floor((mu[:, 0] + r) / ts), 0, n_tx - 1)
     y0 = np.clip(np.floor((mu[:, 1] - r) / ts), 0, n_ty - 1)
@@ -155,9 +168,25 @@ def estimate_tile_config(
 
 
 def bin_pairs(
-    proj: ProjectedGaussians, width: int, height: int, config: TileConfig
+    proj: ProjectedGaussians, width: int, height: int, config: TileConfig,
+    opacities: Optional[jnp.ndarray] = None,
 ):
     """Exact tile binning at the pair level.
+
+    When `opacities` is given, pairs that provably contribute NOTHING are
+    culled with output-identical semantics: every compositor (oracle, tiled,
+    pallas) zeroes alpha = op*exp(-Q) < ALPHA_EPS, so a (gaussian, tile)
+    pair whose minimum Q over the tile's pixel-center rectangle exceeds
+    ln(op/ALPHA_EPS) can never produce a nonzero alpha — or gradient — at
+    any pixel of that tile. Two stages (the reference CUDA bins the plain
+    3-sigma AABB, submodule row §2.2 — no twin for this cull):
+      1. opacity-aware AABB radius min(radii, sigma*sqrt(2 ln(op/eps))):
+         shrinks pair EXPANSION (low-opacity splats, e.g. right after an
+         opacity reset, span far fewer tiles than their 3-sigma box);
+      2. exact conic-vs-tile-rectangle min-Q test per emitted pair: culls
+         AABB corner tiles the anisotropic ellipse never touches.
+    Both carry a Q-margin of 1e-3 so f32 rounding differences against the
+    compositors' own alpha evaluation cannot cull a contributing pair.
 
     Returns:
       order: [N] depth-sort permutation
@@ -177,23 +206,44 @@ def bin_pairs(
     n_ty = -(-height // ts)
     n_tiles = n_tx * n_ty
     n = proj.depths.shape[0]
+    dt = proj.means2d.dtype
+    Q_MARGIN = 1e-3
 
     valid = proj.radii > 0
     order = jnp.argsort(jnp.where(valid, proj.depths, jnp.inf))
     # One packed gather instead of two: random-row gathers cost ~9 ns/row on
     # TPU regardless of width, so every extra [N]-gather is ~1 ms at 100k.
-    mu_r = jnp.concatenate(
-        [proj.means2d, proj.radii.astype(proj.means2d.dtype)[:, None]], axis=1
-    )[order]
+    per_g = [proj.means2d, proj.radii.astype(dt)[:, None]]
+    if opacities is not None:
+        # binning structure is non-differentiable (indices/bools) — make
+        # that explicit so no backward graph hangs off the cull math
+        opacities = jax.lax.stop_gradient(opacities)
+        per_g += [proj.conics, opacities.astype(dt)[:, None]]
+    mu_r = jnp.concatenate(per_g, axis=1)[order]
     means2d = mu_r[:, 0:2]
     radii = mu_r[:, 2]
     valid_s = radii > 0
 
+    if opacities is not None:
+        op_s = mu_r[:, 6]
+        # ln(op/eps): pairs need Q <= thr somewhere in the tile to matter.
+        # op < eps contributes nowhere (alpha = op*exp(<=0) <= op < eps).
+        thr = jnp.log(jnp.maximum(op_s, 1e-30) * (1.0 / ALPHA_EPS))
+        valid_s = valid_s & (op_s >= ALPHA_EPS)
+        # radii = ceil(3*sqrt(lambda_max)) so radii/3 >= sigma_max: the
+        # disk that can reach alpha >= eps has radius sigma*sqrt(2 thr)
+        sigma = radii * (1.0 / 3.0)
+        r_aabb = jnp.minimum(
+            radii, sigma * jnp.sqrt(jnp.maximum(2.0 * thr + Q_MARGIN, 0.0))
+        )
+    else:
+        r_aabb = radii
+
     # Tile-space bounding boxes (clamped to the grid)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / ts), 0, n_tx - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + radii) / ts), 0, n_tx - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii) / ts), 0, n_ty - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + radii) / ts), 0, n_ty - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r_aabb) / ts), 0, n_tx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r_aabb) / ts), 0, n_tx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r_aabb) / ts), 0, n_ty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r_aabb) / ts), 0, n_ty - 1).astype(jnp.int32)
     tw = jnp.where(valid_s, x1 - x0 + 1, 0)
     th = jnp.where(valid_s, y1 - y0 + 1, 0)
     counts = tw * th  # pairs emitted per Gaussian
@@ -213,14 +263,61 @@ def bin_pairs(
     )
     g = jnp.clip(jax.lax.cummax(marks) - 1, 0, n - 1)
     # Per-pair fields via ONE packed [max_pairs]-row gather (offsets/x0/y0/tw
-    # separately would be 4 gathers = ~10 ms at 1M pairs).
-    pair_fields = jnp.stack([offsets, x0, y0, tw], axis=1)[g]  # [MP, 4]
+    # separately would be 4 gathers = ~10 ms at 1M pairs). With the ellipse
+    # cull the per-gaussian floats ride the same gather; the int columns
+    # travel as f32 (exact for values < 2^24 — max_pairs is far below).
+    if opacities is not None:
+        assert config.max_pairs < (1 << 24), "int-in-f32 pair fields"
+        gf = jnp.stack(
+            [
+                offsets.astype(dt), x0.astype(dt), y0.astype(dt),
+                tw.astype(dt),
+                means2d[:, 0], means2d[:, 1],
+                mu_r[:, 3], mu_r[:, 4], mu_r[:, 5],  # conic A, B, C
+                thr,
+            ],
+            axis=1,
+        )
+        pf = gf[g]  # [MP, 10]
+        pair_fields = pf[:, 0:4].astype(jnp.int32)
+    else:
+        pair_fields = jnp.stack([offsets, x0, y0, tw], axis=1)[g]  # [MP, 4]
     local = p_idx - pair_fields[:, 0]
     pair_ok = p_idx < total
     tw_g = jnp.maximum(pair_fields[:, 3], 1)
     tx = pair_fields[:, 1] + local % tw_g
     ty = pair_fields[:, 2] + local // tw_g
     tile_id = jnp.where(pair_ok, ty * n_tx + tx, n_tiles)  # invalid -> end
+
+    if opacities is not None:
+        # Exact min of Q(d) = 0.5*A*dx^2 + B*dx*dy + 0.5*C*dy^2 over this
+        # tile's pixel-center rectangle. 0 if the mean is inside; otherwise
+        # attained on one of the 4 edges, each a 1D quadratic with a
+        # closed-form clamped minimizer (A, C > 0: blur-regularized conic).
+        mx, my = pf[:, 4], pf[:, 5]
+        A, B, C = pf[:, 6], pf[:, 7], pf[:, 8]
+        thr_p = pf[:, 9]
+        txf = tx.astype(dt) * ts
+        tyf = ty.astype(dt) * ts
+        lox, hix = txf + 0.5 - mx, txf + (ts - 0.5) - mx
+        loy, hiy = tyf + 0.5 - my, tyf + (ts - 0.5) - my
+
+        def edge_x(X):
+            dy = jnp.clip(-B * X / C, loy, hiy)
+            return 0.5 * A * X * X + B * X * dy + 0.5 * C * dy * dy
+
+        def edge_y(Y):
+            dx = jnp.clip(-B * Y / A, lox, hix)
+            return 0.5 * C * Y * Y + B * Y * dx + 0.5 * A * dx * dx
+
+        min_q = jnp.minimum(
+            jnp.minimum(edge_x(lox), edge_x(hix)),
+            jnp.minimum(edge_y(loy), edge_y(hiy)),
+        )
+        inside = (lox <= 0) & (hix >= 0) & (loy <= 0) & (hiy >= 0)
+        min_q = jnp.where(inside, 0.0, min_q)
+        keep = min_q <= thr_p + Q_MARGIN
+        tile_id = jnp.where(keep, tile_id, n_tiles)
 
     # Sort by tile id keeping depth order within each tile. g is already the
     # depth rank, so when (tile_id, g) fits in 31 bits a single packed key
@@ -260,7 +357,8 @@ def bin_pairs(
 
 
 def bin_gaussians(
-    proj: ProjectedGaussians, width: int, height: int, config: TileConfig
+    proj: ProjectedGaussians, width: int, height: int, config: TileConfig,
+    opacities: Optional[jnp.ndarray] = None,
 ):
     """Per-tile gather-matrix view of bin_pairs (used by the XLA tiled
     compositor).
@@ -271,7 +369,7 @@ def bin_gaussians(
       tile_mask: [n_tiles, max_per_tile] bool validity
     """
     order, g_sorted, _, starts, tile_cnt, dropped, dims = bin_pairs(
-        proj, width, height, config
+        proj, width, height, config, opacities=opacities
     )
     m_idx = jnp.arange(config.max_per_tile, dtype=jnp.int32)
     gather_pos = jnp.clip(starts[:, None] + m_idx[None, :], 0, config.max_pairs - 1)
@@ -297,7 +395,7 @@ def composite_tiled(
     config = _default_config(n, config, n_tiles0)
 
     order, tile_gather, tile_mask, dropped, (n_tx, n_ty) = bin_gaussians(
-        proj, width, height, config
+        proj, width, height, config, opacities=opacities
     )
     # Depth-sorted per-Gaussian data (binning indexes into the sorted arrays)
     means2d = proj.means2d[order]
@@ -415,7 +513,7 @@ def composite_pallas(
     config = _default_config(n, config, n_tiles0)
 
     order, g_sorted, _, starts, tile_cnt, dropped, (n_tx, n_ty) = bin_pairs(
-        proj, width, height, config
+        proj, width, height, config, opacities=opacities
     )
     n_tiles = n_tx * n_ty
     # Two independent static capacities: max_pairs bounds the sorted pair

@@ -145,6 +145,7 @@ def auto_tile_config(model: GaussianModel, camera: Camera, headroom: float = 3.0
     return estimate_tile_config(
         proj.means2d, proj.radii, proj.depths, camera.width, camera.height,
         headroom=headroom,
+        opacities=jnp.where(model.aux.alive, model.opacity, 0.0),
     )
 
 

@@ -96,9 +96,17 @@ def _static_step(
     counter and the (static, hashable) OptimizationParams: building it on
     the host dispatched ~8 tiny eager device ops per iteration, which over
     the remote-TPU tunnel cost more than the whole compiled step (measured
-    ~2.4 it/s vs ~34 it/s at 480p)."""
-    cam, gt, _, obj_mask = batch.frame(frame_idx)
-    grad_mask = grad_masks[frame_idx]
+    ~2.4 it/s vs ~34 it/s at 480p).
+
+    `frame_idx` may be a scalar (reference semantics: one frame per update)
+    or a [K] vector (StaticParams.frame_batch): the photometric gradient is
+    then the MEAN over K frames rendered in one step via lax.scan —
+    sequential per frame, so binning buffers stay single-frame sized —
+    while densification statistics are accumulated per frame exactly as K
+    separate reference iterations would (the 1/K mean scaling is undone on
+    the probe gradients)."""
+    fidxs = jnp.atleast_1d(jnp.asarray(frame_idx, jnp.int32))
+    n_frames = fidxs.shape[0]
     if mode == "label":
         lr_tree = gaussian_lr_tree(
             model.params, it, opt_cfg, model.spatial_lr_scale,
@@ -110,36 +118,52 @@ def _static_step(
             model.params, it, opt_cfg, model.spatial_lr_scale, label_lr=0.0
         )
     bg = jnp.zeros(3, model.params.xyz.dtype) if bg_color is None else bg_color
-    probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
+    probe = jnp.zeros((n_frames, model.capacity, 2), model.params.xyz.dtype)
 
     def loss_fn(params, probe):
         m = dataclasses.replace(model, params=params)
-        if mode == "label":
-            from egogaussian_tpu.render.api import render as render_api
 
-            # one render: label as the color channel with detached geometry
-            # (get_render_label twin); its radii ARE the visibility filter —
-            # no second RGB render needed
-            sg = jax.lax.stop_gradient
-            res = render_api(
-                cam, sg(m.params.xyz), sg(m.covariance()), sg(m.opacity),
-                bg=jnp.zeros((1,), m.params.xyz.dtype),
-                colors_precomp=m.params.label,
-                valid_mask=m.aux.alive, backend=backend,
-                tile_config=tile_config,
+        def one_frame(_, xs):
+            f, probe_f = xs
+            cam, gt, _, obj_mask = batch.frame(f)
+            grad_mask = grad_masks[f]
+            if mode == "label":
+                from egogaussian_tpu.render.api import render as render_api
+
+                # one render: label as the color channel with detached
+                # geometry (get_render_label twin); its radii ARE the
+                # visibility filter — no second RGB render needed
+                sg = jax.lax.stop_gradient
+                res = render_api(
+                    cam, sg(m.params.xyz), sg(m.covariance()), sg(m.opacity),
+                    bg=jnp.zeros((1,), m.params.xyz.dtype),
+                    colors_precomp=m.params.label,
+                    valid_mask=m.aux.alive, backend=backend,
+                    tile_config=tile_config,
+                )
+                label_img = mask_grad(res.image, grad_mask)
+                loss = bce_with_logits(label_img, obj_mask)
+                return 0, (loss, res.radii, res.dropped_pairs)
+            res = render_gaussians(m, cam, bg, means2d_probe=probe_f,
+                                   backend=backend, tile_config=tile_config)
+            img = mask_grad(res.image, grad_mask)
+            loss = image_loss(img, gt, lambda_dssim)
+            if mode == "entropy":
+                loss = loss + 0.1 * opacity_entropy(
+                    m.params.opacity_logit[:, 0], res.radii > 0
+                )
+            return 0, (loss, res.radii, res.dropped_pairs)
+
+        if n_frames == 1:
+            # inline single-frame path: no scan wrapper in the hot graph
+            _, (loss, radii, dropped) = one_frame(0, (fidxs[0], probe[0]))
+            losses = loss[None]
+            radii, dropped = radii[None], dropped[None]
+        else:
+            _, (losses, radii, dropped) = jax.lax.scan(
+                one_frame, 0, (fidxs, probe)
             )
-            label_img = mask_grad(res.image, grad_mask)
-            loss = bce_with_logits(label_img, obj_mask)
-            return loss, (res.radii, loss, res.dropped_pairs)
-        res = render_gaussians(m, cam, bg, means2d_probe=probe,
-                               backend=backend, tile_config=tile_config)
-        img = mask_grad(res.image, grad_mask)
-        loss = image_loss(img, gt, lambda_dssim)
-        if mode == "entropy":
-            loss = loss + 0.1 * opacity_entropy(
-                m.params.opacity_logit[:, 0], res.radii > 0
-            )
-        return loss, (res.radii, loss, res.dropped_pairs)
+        return jnp.mean(losses), (radii, losses, dropped)
 
     grads, (radii, loss, dropped) = jax.grad(
         loss_fn, argnums=(0, 1), has_aux=True
@@ -152,10 +176,19 @@ def _static_step(
     ndc_scale = jnp.array(
         [batch.width * 0.5, batch.height * 0.5], model.params.xyz.dtype
     )
-    model = add_densification_stats(model, probe_grads * ndc_scale, radii)
+    # undo the mean's 1/K on the probe grads so each frame contributes the
+    # same statistic as a standalone reference iteration
+    for k in range(n_frames):
+        model = add_densification_stats(
+            model, probe_grads[k] * (ndc_scale * n_frames), radii[k]
+        )
     new_params, new_opt = adam_update(model.params, param_grads, opt_state, lr_tree)
     model = dataclasses.replace(model, params=new_params)
-    return model, new_opt, loss, radii, jnp.maximum(drop_max, dropped)
+    out_radii = radii[0] if jnp.ndim(frame_idx) == 0 else radii
+    return (
+        model, new_opt, jnp.mean(loss), out_radii,
+        jnp.maximum(drop_max, jnp.max(dropped)),
+    )
 
 
 def _log_dropped_pairs(stage: str, phase, drop_max) -> None:
@@ -279,8 +312,15 @@ def train_static(
             f"{total_iters} iters, capacity {model.capacity}"
         )
         drop_max = jnp.int32(0)  # worst binning-capacity loss seen (device)
+        fb = max(1, sp.frame_batch)
         for it in range(start_it + 1, total_iters + 1):
-            fidx = stack[rng.randint(len(stack))]
+            if fb == 1:
+                fidx = stack[rng.randint(len(stack))]
+            else:
+                fidx = np.array(
+                    [stack[i] for i in rng.randint(len(stack), size=fb)],
+                    np.int32,
+                )
             if it <= sp.std_train_iter:
                 mode = "std"
             elif it <= sp.std_train_iter + sp.entropy_reg_iter:
@@ -463,8 +503,12 @@ def train_background(
     CONSOLE.log(f"[bg] {len(train_cams)} frames, {total_iters} iters")
 
     drop_max = jnp.int32(0)
+    fb = max(1, bp.frame_batch)
     for it in range(start_it + 1, total_iters + 1):
-        fidx = rng.randint(len(train_cams))
+        if fb == 1:
+            fidx = rng.randint(len(train_cams))
+        else:
+            fidx = rng.randint(len(train_cams), size=fb).astype(np.int32)
         mode = "std" if it <= bp.std_train_iter else "entropy"
         model, opt_state, loss, radii, drop_max = _static_step(
             model, opt_state, batch, fidx, int_masks_j, it,

@@ -186,3 +186,44 @@ class TestKnnSceneDeepTiles:
             np.testing.assert_allclose(
                 a, b, atol=2e-3 * sc,
                 err_msg=f"kNN-scene grad mismatch: {f}")
+
+
+class TestRasterizerSelfDiagnosis:
+    """render/debug.py: the layout differential and dense-reference kernel
+    check must pass on the kNN training-init scene (the configuration the
+    round-2 TPU verify drive flagged)."""
+
+    @pytest.mark.slow
+    def test_layout_and_kernel_checks_pass(self):
+        from egogaussian_tpu.data.readers import stack_cameras
+        from egogaussian_tpu.data.synthetic import make_synthetic_video
+        from egogaussian_tpu.models import from_points
+        from egogaussian_tpu.render.api import _colors_from_sh
+        from egogaussian_tpu.render.debug import (
+            check_layout, check_tilegrid_kernel,
+        )
+        from egogaussian_tpu.render.project import project_gaussians
+        from egogaussian_tpu.train.common import auto_tile_config
+
+        vid = make_synthetic_video(width=96, height=72, n_bg=800, n_obj=100,
+                                   frames_static=3, frames_dynamic=2, seed=7)
+        batch = stack_cameras(vid.cameras[:2])
+        model = from_points(vid.points, vid.colors, spatial_lr_scale=1.2,
+                            seed=0)
+        cfg = auto_tile_config(model, batch.camera(0))
+        cam = batch.camera(0)
+        proj = project_gaussians(
+            model.params.xyz, model.covariance(), cam.viewmat, cam.fx,
+            cam.fy, cam.cx, cam.cy, 96, 72, valid_mask=model.aux.alive)
+        sh = jnp.concatenate(
+            [model.params.features_dc, model.params.features_rest], axis=1)
+        colors = _colors_from_sh(sh, model.sh_degree, model.params.xyz,
+                                 cam.camera_center)
+        opac = jnp.where(model.aux.alive, model.opacity, 0.0)
+
+        lay = check_layout(proj, colors, opac, 96, 72, cfg)
+        assert lay.mismatched_tiles == 0, lay
+        assert lay.multi_chunk_tiles > 0, (
+            "scene no longer multi-chunk; diagnosis coverage lost")
+        ker = check_tilegrid_kernel(proj, colors, opac, 96, 72, cfg)
+        assert ker.bad_tiles == 0, ker

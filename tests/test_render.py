@@ -171,6 +171,110 @@ class TestTiledMatchesOracle:
             assert np.isfinite(np.asarray(y)).all()
 
 
+class TestOpacityAwareCull:
+    """bin_pairs' opacity-aware pair cull (no reference twin — the CUDA
+    rasterizer bins the plain 3-sigma AABB): culled pairs must be exactly
+    the ones every compositor would zero (alpha < ALPHA_EPS over the whole
+    tile), so outputs and gradients are unchanged while the pair stream —
+    and with it every capacity-scaled cost — shrinks."""
+
+    def _binned(self, cam, means, cov3d, ops, cfg=None, cull=True):
+        from egogaussian_tpu.render.tiled import TileConfig, bin_pairs
+
+        proj = project_gaussians(
+            means, cov3d, cam.viewmat, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.width, cam.height,
+        )
+        cfg = cfg or TileConfig(max_pairs=16384, max_per_tile=1024)
+        *_, cnt, dropped, _ = bin_pairs(
+            proj, cam.width, cam.height, cfg,
+            opacities=ops if cull else None,
+        )
+        return int(cnt.sum()), int(dropped)
+
+    def test_low_opacity_scene_culls_and_matches_oracle(self):
+        cam = make_camera(width=80, height=56)
+        means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(11), 300)
+        ops = jnp.full_like(ops, 0.01)  # post-opacity-reset regime
+        culled, d1 = self._binned(cam, means, cov3d, ops, cull=True)
+        full, d2 = self._binned(cam, means, cov3d, ops, cull=False)
+        assert d1 == 0 and d2 == 0
+        assert culled < 0.55 * full, (culled, full)
+        a = render(cam, means, cov3d, ops, jnp.array([0.3, 0.1, 0.2]),
+                   colors_precomp=colors, backend="oracle")
+        for backend in ("tiled", "pallas"):
+            b = render(cam, means, cov3d, ops, jnp.array([0.3, 0.1, 0.2]),
+                       colors_precomp=colors, backend=backend)
+            np.testing.assert_allclose(b.image, a.image, atol=2e-5,
+                                       err_msg=backend)
+            np.testing.assert_allclose(b.alpha, a.alpha, atol=2e-5)
+            np.testing.assert_allclose(b.depth, a.depth, atol=2e-4)
+
+    def test_subthreshold_opacity_culls_everything(self):
+        from egogaussian_tpu.render.oracle import ALPHA_EPS
+
+        cam = make_camera()
+        means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(12), 50)
+        ops = jnp.full_like(ops, 0.9 * ALPHA_EPS)  # alpha < eps everywhere
+        culled, _ = self._binned(cam, means, cov3d, ops, cull=True)
+        assert culled == 0
+        bgc = jnp.array([0.5, 0.6, 0.7])
+        a = render(cam, means, cov3d, ops, bgc, colors_precomp=colors,
+                   backend="oracle")
+        b = render(cam, means, cov3d, ops, bgc, colors_precomp=colors,
+                   backend="tiled")
+        np.testing.assert_allclose(np.asarray(a.image),
+                                   np.broadcast_to(
+                                       np.asarray(bgc)[:, None, None],
+                                       a.image.shape), atol=1e-6)
+        np.testing.assert_allclose(b.image, a.image, atol=1e-6)
+
+    def test_gradients_unchanged_by_cull(self):
+        cam = make_camera(width=48, height=32)
+        means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(13), 80)
+        # mix in low opacities so the cull is active
+        ops = ops.at[::3].set(0.02)
+        target = jax.random.uniform(jax.random.PRNGKey(9), (3, 32, 48))
+
+        def loss(backend, m, c, o):
+            res = render(cam, m, cov3d, o, jnp.zeros(3), colors_precomp=c,
+                         backend=backend)
+            return jnp.mean((res.image - target) ** 2)
+
+        ga = jax.grad(lambda *a: loss("oracle", *a), argnums=(0, 1, 2))(
+            means, colors, ops
+        )
+        for backend in ("tiled", "pallas"):
+            gb = jax.grad(lambda *a: loss(backend, *a), argnums=(0, 1, 2))(
+                means, colors, ops
+            )
+            for x, y in zip(ga, gb):
+                np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                           atol=5e-5, err_msg=backend)
+                assert np.isfinite(np.asarray(y)).all()
+
+    def test_estimator_tracks_culled_stream(self):
+        from egogaussian_tpu.render.tiled import bin_pairs, estimate_tile_config
+
+        cam = make_camera(width=80, height=56)
+        means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(14), 400)
+        ops = ops.at[::2].set(0.015)
+        proj = project_gaussians(
+            means, cov3d, cam.viewmat, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.width, cam.height,
+        )
+        cfg = estimate_tile_config(
+            proj.means2d, proj.radii, proj.depths, cam.width, cam.height,
+            opacities=ops,
+        )
+        # capacities sized from the culled stream must hold it: no drops
+        *_, cnt, dropped, _ = bin_pairs(
+            proj, cam.width, cam.height, cfg, opacities=ops
+        )
+        assert int(dropped) == 0
+        assert int(cnt.sum()) <= cfg.max_pairs
+
+
 class TestScreenGradProbe:
     def test_probe_gradient_nonzero_for_visible(self):
         # The means2d_probe recovers the reference's viewspace_points.grad

@@ -100,6 +100,83 @@ class TestStaticStep:
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
 
+    def test_frame_batch_of_duplicated_frame_matches_single(self, video):
+        """A K=2 batch of the SAME frame has mean loss == the single-frame
+        loss and identical parameter gradients, so the updated params must
+        match the single-frame step bit-for-bit — while the densification
+        statistics (per-frame by design) double."""
+        batch = stack_cameras(video.cameras[:4])
+        model = from_points(video.points, video.colors, capacity=512)
+        opt_state = adam_init(model.params)
+        cfg = tiny_config()
+        m1, o1, l1, r1, _ = _static_step(
+            model, opt_state, batch, 2, batch.hand_masks, 3,
+            mode="std", opt_cfg=cfg.opt,
+        )
+        m2, o2, l2, r2, _ = _static_step(
+            model, opt_state, batch, np.array([2, 2], np.int32),
+            batch.hand_masks, 3, mode="std", opt_cfg=cfg.opt,
+        )
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for f in ("xyz", "features_dc", "log_scales", "quats",
+                  "opacity_logit"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(m2.params, f)),
+                np.asarray(getattr(m1.params, f)),
+                atol=1e-6, err_msg=f,
+            )
+        np.testing.assert_allclose(np.asarray(r2[0]), np.asarray(r1))
+        np.testing.assert_allclose(np.asarray(r2[1]), np.asarray(r1))
+        base = model.aux
+        np.testing.assert_allclose(
+            np.asarray(m2.aux.xyz_gradient_accum - base.xyz_gradient_accum),
+            2.0 * np.asarray(m1.aux.xyz_gradient_accum
+                             - base.xyz_gradient_accum),
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.aux.denom - base.denom),
+            2.0 * np.asarray(m1.aux.denom - base.denom),
+        )
+
+    def test_frame_batch_two_frames_averages_gradient(self, video):
+        """K=2 over two distinct frames: loss is the mean of the two
+        single-frame losses, and the densify stats are the SUM of the two
+        single-frame increments (reference add_densification_stats run
+        once per frame, gaussian_model.py:735-740)."""
+        batch = stack_cameras(video.cameras[:4])
+        model = from_points(video.points, video.colors, capacity=512)
+        opt_state = adam_init(model.params)
+        cfg = tiny_config()
+        ma, _, la, _, _ = _static_step(
+            model, opt_state, batch, 0, batch.hand_masks, 3,
+            mode="std", opt_cfg=cfg.opt,
+        )
+        mb, _, lb, _, _ = _static_step(
+            model, opt_state, batch, 1, batch.hand_masks, 3,
+            mode="std", opt_cfg=cfg.opt,
+        )
+        m2, _, l2, r2, _ = _static_step(
+            model, opt_state, batch, np.array([0, 1], np.int32),
+            batch.hand_masks, 3, mode="std", opt_cfg=cfg.opt,
+        )
+        assert r2.shape[0] == 2
+        np.testing.assert_allclose(
+            float(l2), 0.5 * (float(la) + float(lb)), rtol=1e-6
+        )
+        base = model.aux
+        np.testing.assert_allclose(
+            np.asarray(m2.aux.xyz_gradient_accum - base.xyz_gradient_accum),
+            np.asarray(ma.aux.xyz_gradient_accum - base.xyz_gradient_accum)
+            + np.asarray(mb.aux.xyz_gradient_accum - base.xyz_gradient_accum),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.aux.denom - base.denom),
+            np.asarray(ma.aux.denom - base.denom)
+            + np.asarray(mb.aux.denom - base.denom),
+        )
+
     def test_label_mode_moves_only_label(self, video):
         batch = stack_cameras(video.cameras[:2])
         model = from_points(video.points, video.colors, capacity=512)
