@@ -336,6 +336,7 @@ def estimate_coarse_obj_pose(
         CONSOLE.log(f"[coarse] resume: {len(solved_names)} frames solved")
 
     drop_max = jnp.int32(0)
+    last_drop = 0
     for phase, dyn_frames in enumerate(dynamic_phase_frames):
         # append first frame of the next static phase (coarse_obj_pose.py:137)
         frames = list(dyn_frames) + [static_phase_frames[phase + 1][0]]
@@ -406,6 +407,16 @@ def estimate_coarse_obj_pose(
                     backend=backend,
                     tile_config=tile_cfg,
                 )
+
+                if it % cp.densification_interval == 0:
+                    from egogaussian_tpu.train.common import (
+                        maybe_regrow_tile_config,
+                    )
+
+                    tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+                        model, batch.camera(0), tile_cfg, drop_max,
+                        last_drop, "coarse",
+                    )
 
                 # --- densification window (coarse_obj_pose.py:324-337) ---
                 if it < cp.densify_until_iter and it > cp.densify_from_iter:

@@ -149,6 +149,50 @@ def auto_tile_config(model: GaussianModel, camera: Camera, headroom: float = 3.0
     )
 
 
+def maybe_regrow_tile_config(model, camera, tile_cfg, drop_max, last_drop,
+                             stage: str):
+    """Drop-triggered capacity re-estimation, called at host-sync
+    boundaries (densify/reset intervals). The opacity-aware pair cull
+    makes binning capacities opacity-dependent, so capacities estimated
+    right after an opacity reset can be outgrown as opacities retrain
+    upward; instead of silently dropping pairs for the rest of the phase,
+    re-estimate from the CURRENT scene (one extra recompile).
+
+    Returns (tile_cfg, last_drop, changed)."""
+    import dataclasses
+
+    from egogaussian_tpu.utils.console import CONSOLE
+
+    d = int(drop_max)
+    if d <= last_drop:
+        return tile_cfg, last_drop, False
+    new = auto_tile_config(model, camera)
+    grown = dataclasses.replace(
+        new,
+        max_pairs=max(new.max_pairs, tile_cfg.max_pairs),
+        max_per_tile=max(new.max_per_tile, tile_cfg.max_per_tile),
+        max_slots=max(new.max_slots or 0, tile_cfg.max_slots or 0) or None,
+    )
+    if grown == tile_cfg:
+        # the estimate didn't grow (the dropping frame isn't the estimation
+        # camera, or occupancy is spiky) — force headroom up instead
+        grown = auto_tile_config(model, camera, headroom=6.0)
+        grown = dataclasses.replace(
+            grown,
+            max_pairs=max(grown.max_pairs, tile_cfg.max_pairs),
+            max_per_tile=max(grown.max_per_tile, tile_cfg.max_per_tile),
+            max_slots=max(grown.max_slots or 0, tile_cfg.max_slots or 0)
+            or None,
+        )
+    CONSOLE.log(
+        f"[{stage}] up to {d} pairs/render dropped since last check — "
+        f"re-estimated binning capacities "
+        f"(max_pairs {tile_cfg.max_pairs} -> {grown.max_pairs}, "
+        f"max_per_tile {tile_cfg.max_per_tile} -> {grown.max_per_tile})"
+    )
+    return grown, d, grown != tile_cfg
+
+
 def render_label_image(
     model: GaussianModel, camera: Camera, backend: str = "tiled",
     tile_config=None,

@@ -165,6 +165,7 @@ def fine_tune_all(
     )
 
     drop_max = jnp.int32(0)
+    last_drop = 0
     for it in range(start_it + 1, ap.total_num_iter + 1):
         if it == 1:
             cam_idx = static_phase_frames[0][0]
@@ -181,6 +182,13 @@ def fine_tune_all(
             drop_max, lambda_dssim=ap.lambda_dssim, backend=backend,
             tile_config=tile_cfg, opt_cfg=cfg.opt,
         )
+        if it % ap.opacity_reset_interval == 0:
+            from egogaussian_tpu.train.common import maybe_regrow_tile_config
+
+            tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+                model, batch.camera(0), tile_cfg, drop_max, last_drop,
+                "fine_all",
+            )
         ckpt.maybe_save(
             it, (model, opt_state), rng, jax.random.PRNGKey(0)
         )

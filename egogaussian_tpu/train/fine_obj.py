@@ -215,6 +215,7 @@ def fine_tune_obj(
         backend = pick_backend(tile_cfg, backend)
 
     drop_max = jnp.int32(0)
+    last_drop = 0
     for it in range(start_it + 1, fp.total_num_iter + 1):
         if it == 1:
             cam_idx, train_p = static_phase_frames[0][0], False
@@ -231,6 +232,13 @@ def fine_tune_obj(
             tile_config=tile_cfg,
         )
 
+        if it % fp.densification_interval == 0:
+            from egogaussian_tpu.train.common import maybe_regrow_tile_config
+
+            tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+                model, batch.camera(0), tile_cfg, drop_max, last_drop,
+                "fine_obj",
+            )
         if it < fp.densify_until_iter and it > fp.densify_from_iter:
             if it % fp.densification_interval == 0:
                 size_threshold = 20.0 if it > fp.opacity_reset_interval else None

@@ -52,6 +52,7 @@ from egogaussian_tpu.ops.losses import bce_with_logits
 from egogaussian_tpu.train.common import (
     auto_tile_config,
     image_loss,
+    maybe_regrow_tile_config,
     pick_backend,
     mask_grad,
     model_colors,
@@ -312,6 +313,7 @@ def train_static(
             f"{total_iters} iters, capacity {model.capacity}"
         )
         drop_max = jnp.int32(0)  # worst binning-capacity loss seen (device)
+        last_drop = 0
         fb = max(1, sp.frame_batch)
         for it in range(start_it + 1, total_iters + 1):
             if fb == 1:
@@ -339,6 +341,13 @@ def train_static(
                 tile_config=tile_cfg, bg_color=bg_color, opt_cfg=opt_cfg,
                 label_lr=sp.label_lr,
             )
+
+            # drop-triggered capacity regrowth at the interval host-sync
+            if it % opt_cfg.densification_interval == 0:
+                tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+                    model, batch.camera(0), tile_cfg, drop_max, last_drop,
+                    "static",
+                )
 
             # densification schedule (train_static.py:125-133)
             if it <= sp.densify_until_iter:
@@ -503,6 +512,7 @@ def train_background(
     CONSOLE.log(f"[bg] {len(train_cams)} frames, {total_iters} iters")
 
     drop_max = jnp.int32(0)
+    last_drop = 0
     fb = max(1, bp.frame_batch)
     for it in range(start_it + 1, total_iters + 1):
         if fb == 1:
@@ -516,6 +526,10 @@ def train_background(
             mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
             tile_config=tile_cfg, opt_cfg=opt_cfg,
         )
+        if it % opt_cfg.densification_interval == 0:
+            tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+                model, batch.camera(0), tile_cfg, drop_max, last_drop, "bg"
+            )
         if it <= bp.densify_until_iter:
             if it > bp.densify_from_iter and it % opt_cfg.densification_interval == 0:
                 size_threshold = 20.0 if it > opt_cfg.opacity_reset_interval else None

@@ -253,6 +253,51 @@ class TestOpacityAwareCull:
                                            atol=5e-5, err_msg=backend)
                 assert np.isfinite(np.asarray(y)).all()
 
+    def test_drop_triggered_capacity_regrowth(self):
+        """The opacity-reset-then-regrow hazard: capacities estimated from
+        a low-opacity scene must regrow via maybe_regrow_tile_config once
+        renders report dropped pairs at the higher opacities."""
+        from egogaussian_tpu.models import from_points
+        from egogaussian_tpu.render.tiled import bin_pairs, estimate_tile_config
+        from egogaussian_tpu.train.common import maybe_regrow_tile_config
+
+        import dataclasses
+
+        cam = make_camera(width=80, height=56)
+        rng = np.random.RandomState(15)
+        pts = rng.randn(400, 3).astype(np.float32)
+        cols = rng.rand(400, 3).astype(np.float32)
+        model = from_points(pts, cols, capacity=400)
+        inv = float(np.log(0.95 / 0.05))  # opacity 0.95, retrained upward
+        model = dataclasses.replace(
+            model, params=dataclasses.replace(
+                model.params,
+                opacity_logit=jnp.full_like(model.params.opacity_logit, inv),
+            ))
+        proj = project_gaussians(
+            model.params.xyz, model.covariance(), cam.viewmat, cam.fx,
+            cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+            valid_mask=model.aux.alive,
+        )
+        hi = jnp.where(model.aux.alive, model.opacity, 0.0)
+        low = jnp.where(model.aux.alive, 0.011, 0.0)  # post-reset estimate
+        cfg = estimate_tile_config(
+            proj.means2d, proj.radii, proj.depths, cam.width, cam.height,
+            opacities=low, headroom=1.05,
+        )
+        *_, cnt, dropped, _ = bin_pairs(proj, cam.width, cam.height, cfg,
+                                        opacities=hi)
+        if int(dropped) == 0:
+            pytest.skip("scene too sparse to overflow — scenario not hit")
+        cfg2, last, changed = maybe_regrow_tile_config(
+            model, cam, cfg, dropped, 0, "test"
+        )
+        assert changed and last == int(dropped)
+        assert cfg2.max_pairs >= cfg.max_pairs
+        *_, cnt2, dropped2, _ = bin_pairs(proj, cam.width, cam.height, cfg2,
+                                          opacities=hi)
+        assert int(dropped2) == 0
+
     def test_estimator_tracks_culled_stream(self):
         from egogaussian_tpu.render.tiled import bin_pairs, estimate_tile_config
 
