@@ -940,20 +940,28 @@ def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
 
 
 def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
+                         exact_total: bool,
                          meta_ref,
                          vals_ref, bg_ref,
                          img_ref, alpha_ref, depth_ref,
                          gimg_ref, galpha_ref, gdepth_ref,
                          dvals_ref,
                          T_carry, carry_wd, cidx):
-    """Single FORWARD sweep backward. The usual back-to-front suffix
+    """FORWARD-sweep backward. The usual back-to-front suffix
     S(r) = sum_{j>r} w_j dLdw_j is rewritten as total_wd - prefix(r),
-    where the per-pixel total is recovered from the SAVED outputs:
+    where the per-pixel total is either (exact_total=False, default)
+    recovered from the SAVED outputs:
 
       total_wd = (img - T_total*bg).gimg + depth*gdepth + alpha*galpha
       T_total  = 1 - alpha_out
 
-    so the backward needs no residual, no suffix scans and no log/exp —
+    or (exact_total=True) recomputed by an extra value-only pre-sweep in
+    the SAME accumulation order as the gradient sweep's prefix — the
+    suffix subtraction then telescopes to ~0 at the saturated tail
+    instead of leaving a reconstruction-rounding residue amplified by
+    the 1/(1-alpha) factor (up to 100x at ALPHA_MAX).
+
+    Either way the backward needs no residual and no log/exp —
     transmittance is carried forward in linear space exactly like the
     forward kernel."""
     t = pl.program_id(0)
@@ -973,20 +981,11 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
     galpha = galpha_ref[0]  # [P, 1]
     gdepth = gdepth_ref[0]  # [P, 1]
     bg = bg_ref[0, :]  # [D]
-    img_out = img_ref[0]  # [P, D]
-    alpha_out = alpha_ref[0]  # [P, 1]
-    depth_out = depth_ref[0]  # [P, 1]
-    T_total = 1.0 - alpha_out  # [P, 1]
     g_dot_bg = jnp.sum(gimg * bg[None, :], axis=-1, keepdims=True)  # [P,1]
-    total_wd = (
-        jnp.sum((img_out - T_total * bg[None, :]) * gimg, axis=-1,
-                keepdims=True)
-        + depth_out * gdepth
-        + alpha_out * galpha
-    )  # [P, 1]
-    base_S = T_total * g_dot_bg
 
-    def process(blk, i):
+    def accum_chunk(blk, i):
+        """Shared value-path of both sweeps: advance (T_carry, carry_wd)
+        over one chunk and return the per-chunk intermediates."""
         lane_ok = lane_iota + i * _CHUNK < cnt
         alpha, raw, power, dx, dy = _chunk_alphas_T(blk, px, py, lane_ok)
         one_minus = 1.0 - alpha
@@ -1001,6 +1000,60 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
             dld = dld + blk[6 + jj:7 + jj] * gimg[:, jj:jj + 1]
         wd = w * dld
         pre_wd = _prefix_scan_lanes(wd) + carry_wd[...]  # inclusive prefix
+        T_carry[...] = T_carry[...] * incl[:, _CHUNK - 1:]
+        carry_wd[...] = pre_wd[:, _CHUNK - 1:]
+        return (lane_ok, alpha, raw, power, dx, dy, one_minus, T_excl, w,
+                dld, pre_wd)
+
+    if exact_total:
+        # ---- sweep 1: values only, same op order as sweep 2 ----
+        def pre_process(blk, i):
+            accum_chunk(blk, i)
+
+        if use_pipeline:
+            def pre_body(blk_ref):
+                i = cidx[0]
+                pre_process(blk_ref[0], i)
+                cidx[0] = i + 1
+
+            pre_pipeline = pltpu.emit_pipeline(
+                pre_body,
+                grid=(n_chunks,),
+                in_specs=[pl.BlockSpec((1, ch16, _CHUNK),
+                                       lambda i: (start_slot + i, 0, 0))],
+            )
+
+            @pl.when(n_chunks > 0)
+            def _():
+                pre_pipeline(vals_ref)
+        else:
+            def pre_loop(i, _):
+                pre_process(vals_ref[start_slot + i], i)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, pre_loop, 0)
+
+        total_wd = carry_wd[...] * 1.0  # snapshot before reset
+        base_S = (T_carry[...] * 1.0) * g_dot_bg
+        T_carry[...] = jnp.ones_like(T_carry)
+        carry_wd[...] = jnp.zeros_like(carry_wd)
+        cidx[0] = 0
+    else:
+        img_out = img_ref[0]  # [P, D]
+        alpha_out = alpha_ref[0]  # [P, 1]
+        depth_out = depth_ref[0]  # [P, 1]
+        T_total = 1.0 - alpha_out  # [P, 1]
+        total_wd = (
+            jnp.sum((img_out - T_total * bg[None, :]) * gimg, axis=-1,
+                    keepdims=True)
+            + depth_out * gdepth
+            + alpha_out * galpha
+        )  # [P, 1]
+        base_S = T_total * g_dot_bg
+
+    def process(blk, i):
+        (lane_ok, alpha, raw, power, dx, dy, one_minus, T_excl, w, dld,
+         pre_wd) = accum_chunk(blk, i)
         S = (total_wd - pre_wd) + base_S
         dalpha = T_excl * dld - S / one_minus
         gate = (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
@@ -1026,8 +1079,6 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
         dblk = jnp.concatenate(
             [dmu_x, dmu_y, da, db, dc, dop] + dcols + [dz, pad], axis=0
         )  # [ch16, 128]
-        T_carry[...] = T_carry[...] * incl[:, _CHUNK - 1:]
-        carry_wd[...] = pre_wd[:, _CHUNK - 1:]
         return dblk
 
     if use_pipeline:
@@ -1059,9 +1110,11 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
 
 @functools.lru_cache(maxsize=None)
 def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
-                             n_tx: int, interpret: bool = False):
+                             n_tx: int, interpret: bool = False,
+                             exact_total: bool = False):
     """Build the tile-grid compositor (grid over tiles, inner emit_pipeline
-    over each tile's chunk run). Interface:
+    over each tile's chunk run). `exact_total` selects the two-sweep
+    backward (see _tilegrid_bwd_kernel). Interface:
 
       meta [3, n_tiles] i32: (chunk-start slot, pair count, fit-slot count
         broadcast — slots >= meta[2,0] belong to no fitting tile and their
@@ -1106,7 +1159,8 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_tilegrid_bwd_kernel, n_tx, ts, d, not interpret),
+        functools.partial(_tilegrid_bwd_kernel, n_tx, ts, d, not interpret,
+                          exact_total),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),

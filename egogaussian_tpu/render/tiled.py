@@ -48,6 +48,14 @@ class TileConfig:
     # transpose and kernel-grid costs proportional to the padded ESTIMATE
     # instead of the (larger) sort capacity. Rounded up to 128.
     max_slots: Optional[int] = None
+    # tilegrid backward flavor: False = single forward sweep using the
+    # per-pixel weighted-gradient total RECONSTRUCTED from the saved
+    # outputs; True = an extra pre-sweep recomputes that total in the
+    # exact accumulation order of the gradient sweep, so the suffix
+    # subtraction telescopes to 0 at the tail (no reconstruction
+    # rounding amplified by the 1/(1-alpha) factor). ~+40% bwd kernel
+    # time; independent implementation used for cross-verification.
+    bwd_exact_total: bool = False
 
 
 def _default_config(
@@ -580,7 +588,8 @@ def composite_pallas(
             n_slots, _CHUNK, ch16
         ).transpose(0, 2, 1)
         compositor = make_tilegrid_compositor(
-            n_slots, n_tiles, d, ts, n_tx, interpret=interpret
+            n_slots, n_tiles, d, ts, n_tx, interpret=interpret,
+            exact_total=config.bwd_exact_total,
         )
     else:
         t_q = stream(jnp.arange(n_tiles, dtype=jnp.int32))

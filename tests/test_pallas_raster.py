@@ -188,6 +188,55 @@ class TestKnnSceneDeepTiles:
                 err_msg=f"kNN-scene grad mismatch: {f}")
 
 
+class TestExactTotalBackward:
+    """TileConfig.bwd_exact_total: the two-sweep backward (total_wd
+    recomputed in the gradient sweep's own accumulation order) must match
+    both the default forward-sweep backward and the oracle."""
+
+    def test_grads_match_default_and_oracle(self):
+        import dataclasses
+
+        from egogaussian_tpu.ops import covariance_from_scaling_rotation
+        from egogaussian_tpu.render.api import render
+        from egogaussian_tpu.render.camera import Camera, look_at
+        from egogaussian_tpu.render.tiled import TileConfig
+
+        R, t = look_at(np.array([0.0, 0.0, -4.0]), np.zeros(3))
+        cam = Camera.from_colmap(R, t, 60.0, 60.0, 64, 48)
+        k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(0), 5)
+        n = 300
+        means = jax.random.normal(k1, (n, 3))
+        scales = jnp.exp(jax.random.normal(k2, (n, 3)) * 0.3 - 1.6)
+        cov3d = covariance_from_scaling_rotation(
+            scales, jax.random.normal(k3, (n, 4)))
+        colors = jax.random.uniform(k4, (n, 3))
+        ops = jax.random.uniform(k5, (n,), minval=0.3, maxval=0.99)
+        bg = jnp.array([0.2, 0.1, 0.3])
+        target = jax.random.uniform(jax.random.PRNGKey(9), (3, 48, 64))
+        cfg = TileConfig(max_pairs=16384, max_per_tile=1024,
+                         max_slots=16384)
+        cfg_e = dataclasses.replace(cfg, bwd_exact_total=True)
+
+        def loss(backend, c_, m, c, o):
+            res = render(cam, m, cov3d, o, bg, colors_precomp=c,
+                         backend=backend, tile_config=c_)
+            return (jnp.mean((res.image - target) ** 2)
+                    + 0.1 * jnp.mean(res.alpha)
+                    + 0.01 * jnp.mean(res.depth))
+
+        go = jax.grad(lambda *a: loss("oracle", None, *a),
+                      argnums=(0, 1, 2))(means, colors, ops)
+        gd = jax.grad(lambda *a: loss("pallas", cfg, *a),
+                      argnums=(0, 1, 2))(means, colors, ops)
+        ge = jax.grad(lambda *a: loss("pallas", cfg_e, *a),
+                      argnums=(0, 1, 2))(means, colors, ops)
+        for x, y, z in zip(go, gd, ge):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       atol=5e-6)
+            np.testing.assert_allclose(np.asarray(z), np.asarray(x),
+                                       atol=5e-6)
+
+
 class TestRasterizerSelfDiagnosis:
     """render/debug.py: the layout differential and dense-reference kernel
     check must pass on the kNN training-init scene (the configuration the
