@@ -209,7 +209,8 @@ def _stage_iters_per_sec(width=640, height=480, n_iter=30):
     return {k: round(v, 2) for k, v in stages.items()}
 
 
-def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal"):
+def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal",
+                    check=True):
     """Compiled-Mosaic Pallas kernels vs the jnp oracle: fwd channels and
     input gradients. Returns max errors; RAISES past tolerance (the bench
     is the only per-round artifact that runs on real TPU hardware, so this
@@ -277,32 +278,68 @@ def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal"):
     def maxerr(a, b):
         return float(jnp.max(jnp.abs(a - b)))
 
+    def grad_rel(gr_a, gr_b):
+        # gradient error, normalized per-field by the oracle grad's max-abs
+        g = 0.0
+        for name in ("xyz", "log_scales", "quats", "opacity_logit",
+                     "features_dc"):
+            a = getattr(gr_a, name)
+            b = getattr(gr_b, name)
+            scale = float(jnp.max(jnp.abs(a))) or 1.0
+            g = max(g, maxerr(a, b) / scale)
+        return g
+
     errs = {
         "image": maxerr(r_o.image, r_p.image),
         "alpha": maxerr(r_o.alpha, r_p.alpha),
         "depth": maxerr(r_o.depth, r_p.depth),
+        "grad_rel": grad_rel(gr_o, gr_p),
     }
-    # gradient error, normalized per-field by the oracle grad's max-abs
-    gerr = 0.0
-    for name in ("xyz", "log_scales", "quats", "opacity_logit", "features_dc"):
-        a = getattr(gr_o, name)
-        b = getattr(gr_p, name)
-        scale = float(jnp.max(jnp.abs(a))) or 1.0
-        gerr = max(gerr, maxerr(a, b) / scale)
-    errs["grad_rel"] = gerr
+    if backend == "pallas":
+        # A/B the two backward flavors (open TPU divergence investigation:
+        # if the exact-total backward is clean while the default is not,
+        # the saved-output total reconstruction is the culprit)
+        cfg_e = dataclasses.replace(tile_cfg, bwd_exact_total=True)
 
-    assert errs["image"] < TOL_IMAGE, f"pallas image err {errs}"
-    assert errs["alpha"] < TOL_ALPHA, f"pallas alpha err {errs}"
-    assert errs["depth"] < TOL_DEPTH, f"pallas depth err {errs}"
-    assert errs["grad_rel"] < TOL_GRAD_ATOL * 100, f"pallas grad err {errs}"
-    return {k: float(f"{v:.3g}") for k, v in errs.items()}
+        def loss_e(params):
+            m = dataclasses.replace(model, params=params)
+            res = render_gaussians(m, cam, jnp.zeros(3), backend="pallas",
+                                   tile_config=cfg_e)
+            return (jnp.mean(jnp.abs(res.image - gt))
+                    + 0.1 * jnp.mean(res.alpha)
+                    + 0.01 * jnp.mean(res.depth))
+
+        gr_e = jax.jit(jax.grad(loss_e))(model.params)
+        errs["grad_rel_exact_total"] = grad_rel(gr_o, gr_e)
+
+    violations = []
+    if errs["image"] >= TOL_IMAGE:
+        violations.append(f"image {errs['image']}")
+    if errs["alpha"] >= TOL_ALPHA:
+        violations.append(f"alpha {errs['alpha']}")
+    if errs["depth"] >= TOL_DEPTH:
+        violations.append(f"depth {errs['depth']}")
+    if errs["grad_rel"] >= TOL_GRAD_ATOL * 100:
+        violations.append(f"grad_rel {errs['grad_rel']}")
+    out = {k: float(f"{v:.3g}") for k, v in errs.items()}
+    if violations:
+        out["violations"] = violations
+        if check:
+            raise AssertionError(f"pallas kernel err past tolerance: {out}")
+    return out
 
 
 def main():
-    errs = _kernel_max_err()
-    errs_knn = _kernel_max_err(width=160, height=120, scene="knn")
+    errs = _kernel_max_err(check=False)
+    errs_knn = _kernel_max_err(width=160, height=120, scene="knn",
+                               check=False)
     errs["knn_grad_rel"] = errs_knn["grad_rel"]
     errs["knn_image"] = errs_knn["image"]
+    if "grad_rel_exact_total" in errs_knn:
+        errs["knn_grad_rel_exact_total"] = errs_knn["grad_rel_exact_total"]
+    violations = errs.pop("violations", []) + [
+        "knn_" + v for v in errs_knn.pop("violations", [])
+    ]
 
     ips_480 = _train_iters_per_sec(
         _scene(N_GAUSSIANS), 640, 480, n_warmup_train=300
@@ -311,20 +348,25 @@ def main():
     ips_1080 = _train_iters_per_sec(_scene(N_GAUSSIANS), 1920, 1080)
     stages = _stage_iters_per_sec()
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_iters_per_sec_480p_100k",
-                "value": round(ips_480, 3),
-                "unit": "iters/sec (full fwd+bwd+adam, 640x480, 100k gaussians)",
-                "vs_baseline": round(ips_480 / BASELINE_ITERS_PER_SEC, 3),
-                "iters_per_sec_1600x900_100k": round(ips_1600, 3),
-                "iters_per_sec_1920x1080_100k": round(ips_1080, 3),
-                "stage_iters_per_sec_480p": stages,
-                "kernel_max_err_vs_oracle": errs,
-            }
+    record = {
+        "metric": "train_iters_per_sec_480p_100k",
+        "value": round(ips_480, 3),
+        "unit": "iters/sec (full fwd+bwd+adam, 640x480, 100k gaussians)",
+        "vs_baseline": round(ips_480 / BASELINE_ITERS_PER_SEC, 3),
+        "iters_per_sec_1600x900_100k": round(ips_1600, 3),
+        "iters_per_sec_1920x1080_100k": round(ips_1080, 3),
+        "stage_iters_per_sec_480p": stages,
+        "kernel_max_err_vs_oracle": errs,
+    }
+    if violations:
+        record["kernel_tolerance_violations"] = violations
+    # print the JSON FIRST so the measurement (incl. the backward-flavor
+    # A/B) is recorded even when the correctness gate then fails the run
+    print(json.dumps(record))
+    if violations:
+        raise AssertionError(
+            f"pallas kernel errs past tolerance: {violations}"
         )
-    )
 
 
 if __name__ == "__main__":
