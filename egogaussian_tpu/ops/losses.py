@@ -41,8 +41,28 @@ def _gaussian_window(window_size: int, sigma: float):
     return tuple(x / total for x in xs)
 
 
-def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur per channel. img [C, H, W] -> [C, H, W] (SAME)."""
+def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float,
+                    impl: str = "auto") -> jnp.ndarray:
+    """Separable Gaussian blur per channel. img [C, H, W] -> [C, H, W]
+    (SAME = zero-padded, like the reference's F.conv2d(padding=ws//2)).
+
+    impl:
+      "conv"   — depthwise lax.conv (good on CPU).
+      "matmul" — the two 1-D passes as dense BAND-matrix matmuls
+                 (out = B_h @ X @ B_w^T). Wastes (H/ws)x FLOPs on zeros
+                 but runs on the MXU, which beats the VPU conv lowering
+                 on TPU for these shapes; HIGHEST precision keeps f32
+                 protocol fidelity.
+      "auto"   — "matmul" on TPU, "conv" elsewhere.
+    """
+    if impl == "auto":
+        impl = "matmul" if jax.default_backend() == "tpu" else "conv"
+    if impl == "matmul":
+        bh = _band_matrix(img.shape[1], window_size, sigma, str(img.dtype))
+        bw = _band_matrix(img.shape[2], window_size, sigma, str(img.dtype))
+        hp = jax.lax.Precision.HIGHEST
+        x = jnp.einsum("chw,kw->chk", img, bw, precision=hp)
+        return jnp.einsum("jh,chk->cjk", bh, x, precision=hp)
     w = jnp.asarray(_gaussian_window(window_size, sigma), dtype=img.dtype)
     C = img.shape[0]
     x = img[None]  # [1, C, H, W]
@@ -56,6 +76,24 @@ def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.nda
         x, kernel_w, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
     )
     return x[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix_host(n: int, window_size: int, sigma: float):
+    import numpy as _np
+
+    w = _np.asarray(_gaussian_window(window_size, sigma), _np.float64)
+    half = window_size // 2
+    # out[i] = sum_k w[k] * x[i + k - half]  =>  M[i, i + off] = w[off + half]
+    m = _np.zeros((n, n), _np.float64)
+    for off in range(-half, half + 1):
+        i = _np.arange(max(0, -off), min(n, n - off))
+        m[i, i + off] = w[off + half]
+    return m.astype(_np.float32)
+
+
+def _band_matrix(n: int, window_size: int, sigma: float, dtype: str):
+    return jnp.asarray(_band_matrix_host(n, window_size, sigma), dtype=dtype)
 
 
 def ssim(

@@ -85,3 +85,24 @@ def test_losses_differentiable():
     for fn in (l1_loss, l2_loss, ssim):
         g = jax.grad(lambda x: fn(x, tgt))(img)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_blur_matmul_impl_matches_conv():
+    """The MXU band-matrix blur (impl="matmul", default on TPU) must match
+    the depthwise conv to f32 rounding — values AND gradients — so SSIM
+    keeps the reference window protocol on every backend."""
+    import jax
+
+    from egogaussian_tpu.ops.losses import _depthwise_blur
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (15, 97, 131))
+    a = _depthwise_blur(x, 11, 1.5, impl="conv")
+    b = _depthwise_blur(x, 11, 1.5, impl="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    ga = jax.grad(
+        lambda y: jnp.sum(jnp.sin(_depthwise_blur(y, 11, 1.5, impl="conv")))
+    )(x)
+    gb = jax.grad(
+        lambda y: jnp.sum(jnp.sin(_depthwise_blur(y, 11, 1.5, impl="matmul")))
+    )(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
