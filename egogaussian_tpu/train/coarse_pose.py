@@ -364,7 +364,10 @@ def estimate_coarse_obj_pose(
                     pool.append(g)
                     weights.append(2.0)
             mask_ok = np.asarray(
-                jnp.sum(batch.obj_masks[jnp.asarray(pool)], axis=(1, 2, 3)) > 0
+                jnp.sum(
+                    batch.obj_masks[jnp.asarray(pool)].astype(jnp.int32),
+                    axis=(1, 2, 3),
+                ) > 0
             )
             pool = [p for p, ok in zip(pool, mask_ok) if ok]
             weights = np.array(

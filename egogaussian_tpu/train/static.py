@@ -128,6 +128,8 @@ def _static_step(
             f, probe_f = xs
             cam, gt, _, obj_mask = batch.frame(f)
             grad_mask = grad_masks[f]
+            if grad_mask.dtype == jnp.uint8:  # uint8-stored masks (readers)
+                grad_mask = grad_mask.astype(jnp.float32)
             if mode == "label":
                 from egogaussian_tpu.render.api import render as render_api
 
@@ -476,7 +478,8 @@ def train_background(
             for c in train_cams
         ]
     )
-    int_masks_j = jnp.asarray(int_masks)
+    # binary by construction — store uint8 (4x HBM saving; decoded in-jit)
+    int_masks_j = jnp.asarray(int_masks.astype(np.uint8))
 
     model = from_points(
         points, colors, sh_degree=cfg.model.sh_degree,

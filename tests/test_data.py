@@ -195,3 +195,52 @@ class TestSynthetic:
         np.testing.assert_allclose(
             np.asarray(cam.viewmat), np.asarray(vid.cameras[2].viewmat)
         )
+
+
+class TestUint8FrameStorage:
+    def test_8bit_exact_input_stored_uint8_and_decodes_exactly(self):
+        """PNG-like input (k/255 pixels, binary masks) is stored uint8 on
+        device (4x HBM at the reference operating point) and frame()
+        decodes bit-exactly to what the loader produced."""
+        import jax.numpy as jnp
+
+        from egogaussian_tpu.data.readers import stack_cameras
+        from egogaussian_tpu.render.camera import Camera, look_at
+
+        rng = np.random.RandomState(0)
+        R, t = look_at(np.array([0.0, 0.0, -4.0]), np.zeros(3))
+        cams = []
+        for i in range(3):
+            img = (rng.randint(0, 256, (3, 12, 16)).astype(np.float32)
+                   / 255.0)
+            hand = (rng.rand(1, 12, 16) > 0.7).astype(np.float32)
+            obj = (rng.rand(1, 12, 16) > 0.5).astype(np.float32)
+            cams.append(Camera.from_colmap(
+                R, t, 20.0, 20.0, 16, 12, gt_image=img, hand_mask=hand,
+                obj_mask=obj, image_name=f"f{i}"))
+        batch = stack_cameras(cams)
+        assert batch.images.dtype == jnp.uint8
+        assert batch.hand_masks.dtype == jnp.uint8
+        assert batch.obj_masks.dtype == jnp.uint8
+        _, img, hand, obj = batch.frame(1)
+        np.testing.assert_array_equal(np.asarray(img),
+                                      np.asarray(cams[1].gt_image))
+        np.testing.assert_array_equal(np.asarray(hand),
+                                      np.asarray(cams[1].hand_mask))
+        np.testing.assert_array_equal(np.asarray(obj),
+                                      np.asarray(cams[1].obj_mask))
+
+    def test_float_input_keeps_f32(self):
+        """Synthetic float images (not 8-bit exact) must stay f32."""
+        import jax.numpy as jnp
+
+        from egogaussian_tpu.data.readers import stack_cameras
+        from egogaussian_tpu.data.synthetic import make_synthetic_video
+
+        vid = make_synthetic_video(width=32, height=24, n_bg=50, n_obj=10,
+                                   frames_static=2, frames_dynamic=1)
+        batch = stack_cameras(vid.cameras[:2])
+        assert batch.images.dtype == jnp.float32
+        _, img, _, _ = batch.frame(0)
+        np.testing.assert_array_equal(np.asarray(img),
+                                      np.asarray(vid.cameras[0].gt_image))
