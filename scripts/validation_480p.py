@@ -29,6 +29,9 @@ def main():
     p.add_argument("--scale", type=int, default=4, help="schedule divisor")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
+    p.add_argument("--backend", default="auto",
+                   help="rasterizer backend for all stages "
+                        "(auto|oracle|tiled|pallas)")
     a = p.parse_args()
     k = a.scale
 
@@ -82,6 +85,7 @@ def main():
         "--a_total_num_iter", str(40000 // k),
         "--a_densify_until_iter", str(5000 // k),
         "--a_opacity_reset_interval", str(max(3000 // k, 100)),
+        "--backend", a.backend,
     ]
     print("running CLI pipeline:", " ".join(argv), flush=True)
     result = train_main(argv)
