@@ -248,7 +248,7 @@ def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal",
     cam = batch.camera(0)
     tile_cfg = auto_tile_config(model, cam, headroom=1.5)
     backend = pick_backend(tile_cfg, "auto")
-    gt = batch.images[0]
+    gt = batch.frame(0)[1]  # via frame(): decodes uint8-stored planes
 
     def fwd(params, which):
         m = dataclasses.replace(model, params=params)

@@ -231,20 +231,31 @@ class FrameBatch:
             height=self.height,
         )
 
+    @staticmethod
+    def decode_mask(m: jnp.ndarray) -> jnp.ndarray:
+        """f32 view of a possibly-uint8-stored binary mask plane (in-jit).
+        THE decode for every consumer — also for planes indexed directly
+        (e.g. the trainers' grad_masks), so the storage scheme has a
+        single decode point per kind."""
+        return m.astype(jnp.float32) if m.dtype == jnp.uint8 else m
+
+    @staticmethod
+    def decode_image(img: jnp.ndarray) -> jnp.ndarray:
+        """f32 view of a possibly-uint8-stored image plane (in-jit):
+        img/255, exactly what the loader computed from the PNG."""
+        if img.dtype == jnp.uint8:
+            return img.astype(jnp.float32) / 255.0
+        return img
+
     def frame(self, f: int | jnp.ndarray):
         """(camera, gt_image, hand_mask, obj_mask) for a traced index.
-        uint8-stored planes (see stack_cameras) are decoded to f32 IN-JIT
-        (images / 255, exactly what the loader computed from the PNG)."""
-        img = self.images[f]
-        if img.dtype == jnp.uint8:
-            img = img.astype(jnp.float32) / 255.0
-        hand = self.hand_masks[f]
-        if hand.dtype == jnp.uint8:
-            hand = hand.astype(jnp.float32)
-        obj = self.obj_masks[f]
-        if obj.dtype == jnp.uint8:
-            obj = obj.astype(jnp.float32)
-        return (self.camera(f), img, hand, obj)
+        uint8-stored planes (see stack_cameras) are decoded to f32 IN-JIT."""
+        return (
+            self.camera(f),
+            self.decode_image(self.images[f]),
+            self.decode_mask(self.hand_masks[f]),
+            self.decode_mask(self.obj_masks[f]),
+        )
 
 
 def _as_uint8_plane(x: np.ndarray, scale: float):

@@ -16,7 +16,7 @@ self-check. Used from ``bench.py`` and ad-hoc debugging; runs on CPU
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +38,14 @@ class LayoutReport(NamedTuple):
     max_tile_cnt: int
     multi_chunk_tiles: int
     dropped_pairs: int
+    overflowed_tiles: int     # slot-capacity overflow: zero-count in meta
 
 
 class KernelReport(NamedTuple):
     bad_tiles: int            # tiles whose grads disagree with the reference
     max_fwd_err: float
     max_grad_err_rel: float   # worst per-tile grad err / that tile's scale
+    skipped_tiles: int        # deeper than the reference's static padding
 
 
 def _build_layout(proj: ProjectedGaussians, colors, opacities, width, height,
@@ -105,7 +107,13 @@ def check_layout(proj: ProjectedGaussians, colors, opacities, width, height,
     meta_n = np.asarray(meta)
     vals_n = np.asarray(vals)
     packed_n = np.asarray(aux["packed"])
-    cnts = np.asarray(aux["tile_cnt"])
+    raw_cnts = np.asarray(aux["tile_cnt"])
+    # production zeroes slot-overflowed tiles in meta (their chunks were
+    # never laid out) — compare those against meta's view, not raw counts,
+    # and surface them separately so a capacity overflow doesn't read as a
+    # layout bug
+    cnts = meta_n[1]
+    overflowed = int(((raw_cnts > 0) & (cnts == 0)).sum())
     ch, ch16 = aux["ch"], aux["ch16"]
     mismatched = 0
     for t in range(aux["n_tiles"]):
@@ -122,22 +130,29 @@ def check_layout(proj: ProjectedGaussians, colors, opacities, width, height,
     return LayoutReport(
         n_tiles=aux["n_tiles"],
         mismatched_tiles=mismatched,
-        max_tile_cnt=int(cnts.max()) if len(cnts) else 0,
-        multi_chunk_tiles=int((cnts > _CHUNK).sum()),
+        max_tile_cnt=int(raw_cnts.max()) if len(raw_cnts) else 0,
+        multi_chunk_tiles=int((raw_cnts > _CHUNK).sum()),
         dropped_pairs=int(aux["dropped"]),
+        overflowed_tiles=overflowed,
     )
 
 
 def check_tilegrid_kernel(proj: ProjectedGaussians, colors, opacities,
                           width, height, config: TileConfig,
-                          max_chunks: int = 8,
+                          max_chunks: Optional[int] = None,
                           grad_rtol: float = 1e-2,
                           fwd_atol: float = 1e-4,
                           seed: int = 0) -> KernelReport:
     """Forward + input-gradient check of the tilegrid compositor against a
     dense HIGHEST-precision per-tile jnp reference, on this scene's OWN
     layout data (so layout and kernel errors are separable — run
-    check_layout first)."""
+    check_layout first).
+
+    max_chunks sizes the reference's static per-tile padding; by default
+    it covers the scene's DEEPEST tile (deep tiles are the prime suspects
+    of the divergence this tool exists for), capped at 32 chunks = 4096
+    pairs for memory. Deeper tiles are skipped and COUNTED in the report —
+    a nonzero skipped_tiles means bad_tiles=0 is not a clean bill."""
     d = colors.shape[-1]
     ts = config.tile_size
     meta, vals, aux = _build_layout(proj, colors, opacities, width, height,
@@ -146,6 +161,9 @@ def check_tilegrid_kernel(proj: ProjectedGaussians, colors, opacities,
     ch16 = aux["ch16"]
     meta_n = np.asarray(meta)
     vals_n = np.asarray(vals)
+    if max_chunks is None:
+        deepest = int(np.asarray(meta_n[1]).max()) if n_tiles else 0
+        max_chunks = min(max(-(-deepest // _CHUNK), 1), 32)
     comp = make_tilegrid_compositor(
         n_slots, n_tiles, d, ts, n_tx,
         interpret=jax.default_backend() != "tpu")
@@ -195,9 +213,10 @@ def check_tilegrid_kernel(proj: ProjectedGaussians, colors, opacities,
         return val, img, grad
 
     bad = 0
+    skipped = 0
     max_ferr = 0.0
     max_gerr = 0.0
-    cnts = np.asarray(aux["tile_cnt"])
+    cnts = meta_n[1]  # overflow-zeroed view (matches what the kernel ran)
     for t in range(n_tiles):
         cnt = int(cnts[t])
         if cnt == 0:
@@ -205,7 +224,8 @@ def check_tilegrid_kernel(proj: ProjectedGaussians, colors, opacities,
         start = int(meta_n[0, t])
         n_chunks = (cnt + _CHUNK - 1) // _CHUNK
         if n_chunks > max_chunks:
-            continue  # beyond the reference's static padding; skip
+            skipped += 1  # beyond the reference's static padding
+            continue
         run = np.zeros((max_chunks, ch16, _CHUNK), np.float32)
         run[:n_chunks] = vals_n[start:start + n_chunks]
         _, img_r, gr = ref_tile(jnp.asarray(run), cnt, t % n_tx, t // n_tx,
@@ -219,4 +239,4 @@ def check_tilegrid_kernel(proj: ProjectedGaussians, colors, opacities,
         if gerr > grad_rtol * gsc or ferr > fwd_atol:
             bad += 1
     return KernelReport(bad_tiles=bad, max_fwd_err=max_ferr,
-                        max_grad_err_rel=max_gerr)
+                        max_grad_err_rel=max_gerr, skipped_tiles=skipped)

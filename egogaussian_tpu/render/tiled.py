@@ -275,6 +275,10 @@ def bin_pairs(
     # cull the per-gaussian floats ride the same gather; the int columns
     # travel as f32 (exact for values < 2^24 — max_pairs is far below).
     if opacities is not None:
+        # int columns travel as floats: exactness needs f32 (23-bit
+        # mantissa) and values < 2^24 — a bf16/f16 projection dtype would
+        # silently corrupt tile assignments
+        assert dt == jnp.float32, f"int-in-f32 pair fields need f32, got {dt}"
         assert config.max_pairs < (1 << 24), "int-in-f32 pair fields"
         gf = jnp.stack(
             [

@@ -416,10 +416,12 @@ def estimate_coarse_obj_pose(
                         maybe_regrow_tile_config,
                     )
 
-                    tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+                    tile_cfg, last_drop, changed = maybe_regrow_tile_config(
                         model, batch.camera(0), tile_cfg, drop_max,
                         last_drop, "coarse",
                     )
+                    if changed:
+                        drop_max, last_drop = jnp.int32(0), 0
 
                 # --- densification window (coarse_obj_pose.py:324-337) ---
                 if it < cp.densify_until_iter and it > cp.densify_from_iter:

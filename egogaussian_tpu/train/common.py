@@ -130,7 +130,8 @@ def pick_backend(tile_config, backend: str = "auto") -> str:
     return "tiled"
 
 
-def auto_tile_config(model: GaussianModel, camera: Camera, headroom: float = 3.0):
+def auto_tile_config(model: GaussianModel, camera: Camera,
+                     headroom: float = 3.0, tile_size: int = 16):
     """Host-side: estimate binning capacities for the current scene/camera
     (render/tiled.py estimate_tile_config). Call at stage/phase start;
     generous headroom covers densification growth within the phase."""
@@ -144,7 +145,7 @@ def auto_tile_config(model: GaussianModel, camera: Camera, headroom: float = 3.0
     )
     return estimate_tile_config(
         proj.means2d, proj.radii, proj.depths, camera.width, camera.height,
-        headroom=headroom,
+        tile_size=tile_size, headroom=headroom,
         opacities=jnp.where(model.aux.alive, model.opacity, 0.0),
     )
 
@@ -158,7 +159,14 @@ def maybe_regrow_tile_config(model, camera, tile_cfg, drop_max, last_drop,
     upward; instead of silently dropping pairs for the rest of the phase,
     re-estimate from the CURRENT scene (one extra recompile).
 
-    Returns (tile_cfg, last_drop, changed)."""
+    Only the three CAPACITY fields are re-estimated — tile_size,
+    compositor flavor, bwd_exact_total etc. are preserved from the
+    caller's config (they select kernels, not sizes).
+
+    Returns (tile_cfg, last_drop, changed). Callers should treat a
+    `changed` regrowth as a new baseline: reset the device drop counter
+    to 0 and pass last_drop=0 afterwards, so persistent drops BELOW the
+    historical maximum still retrigger (the counter is a running max)."""
     import dataclasses
 
     from egogaussian_tpu.utils.console import CONSOLE
@@ -166,24 +174,24 @@ def maybe_regrow_tile_config(model, camera, tile_cfg, drop_max, last_drop,
     d = int(drop_max)
     if d <= last_drop:
         return tile_cfg, last_drop, False
-    new = auto_tile_config(model, camera)
-    grown = dataclasses.replace(
-        new,
-        max_pairs=max(new.max_pairs, tile_cfg.max_pairs),
-        max_per_tile=max(new.max_per_tile, tile_cfg.max_per_tile),
-        max_slots=max(new.max_slots or 0, tile_cfg.max_slots or 0) or None,
-    )
+
+    def merge(est):
+        # capacities only; keep every kernel-selecting field of tile_cfg
+        return dataclasses.replace(
+            tile_cfg,
+            max_pairs=max(est.max_pairs, tile_cfg.max_pairs),
+            max_per_tile=max(est.max_per_tile, tile_cfg.max_per_tile),
+            max_slots=max(est.max_slots or 0, tile_cfg.max_slots or 0)
+            or None,
+        )
+
+    grown = merge(auto_tile_config(model, camera,
+                                   tile_size=tile_cfg.tile_size))
     if grown == tile_cfg:
         # the estimate didn't grow (the dropping frame isn't the estimation
         # camera, or occupancy is spiky) — force headroom up instead
-        grown = auto_tile_config(model, camera, headroom=6.0)
-        grown = dataclasses.replace(
-            grown,
-            max_pairs=max(grown.max_pairs, tile_cfg.max_pairs),
-            max_per_tile=max(grown.max_per_tile, tile_cfg.max_per_tile),
-            max_slots=max(grown.max_slots or 0, tile_cfg.max_slots or 0)
-            or None,
-        )
+        grown = merge(auto_tile_config(model, camera, headroom=6.0,
+                                       tile_size=tile_cfg.tile_size))
     CONSOLE.log(
         f"[{stage}] up to {d} pairs/render dropped since last check — "
         f"re-estimated binning capacities "

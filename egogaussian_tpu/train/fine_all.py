@@ -185,10 +185,12 @@ def fine_tune_all(
         if it % ap.opacity_reset_interval == 0:
             from egogaussian_tpu.train.common import maybe_regrow_tile_config
 
-            tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+            tile_cfg, last_drop, changed = maybe_regrow_tile_config(
                 model, batch.camera(0), tile_cfg, drop_max, last_drop,
                 "fine_all",
             )
+            if changed:
+                drop_max, last_drop = jnp.int32(0), 0
         ckpt.maybe_save(
             it, (model, opt_state), rng, jax.random.PRNGKey(0)
         )

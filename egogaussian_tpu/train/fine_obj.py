@@ -235,10 +235,12 @@ def fine_tune_obj(
         if it % fp.densification_interval == 0:
             from egogaussian_tpu.train.common import maybe_regrow_tile_config
 
-            tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+            tile_cfg, last_drop, changed = maybe_regrow_tile_config(
                 model, batch.camera(0), tile_cfg, drop_max, last_drop,
                 "fine_obj",
             )
+            if changed:
+                drop_max, last_drop = jnp.int32(0), 0
         if it < fp.densify_until_iter and it > fp.densify_from_iter:
             if it % fp.densification_interval == 0:
                 size_threshold = 20.0 if it > fp.opacity_reset_interval else None

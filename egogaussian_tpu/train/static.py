@@ -127,9 +127,7 @@ def _static_step(
         def one_frame(_, xs):
             f, probe_f = xs
             cam, gt, _, obj_mask = batch.frame(f)
-            grad_mask = grad_masks[f]
-            if grad_mask.dtype == jnp.uint8:  # uint8-stored masks (readers)
-                grad_mask = grad_mask.astype(jnp.float32)
+            grad_mask = FrameBatch.decode_mask(grad_masks[f])
             if mode == "label":
                 from egogaussian_tpu.render.api import render as render_api
 
@@ -242,6 +240,30 @@ def _split_by_is_object(model: GaussianModel):
     return compact(obj), compact(bg)
 
 
+def _label_stack(stack, phase, n_phases, rewind, mask_valid):
+    """Label-phase frame subset: the reference's rewind window
+    (train_static.py:152-162, frames adjacent to the interaction)
+    RESTRICTED to frames whose obj mask was actually shipped. BCE against
+    a missing (all-zero) mask trains the label toward zero everywhere —
+    the reference implicitly assumes the rewind window ships masks, but
+    with all-phase training the next-static anchor's mask is exactly the
+    one stage 1.1 is meant to COMPLETE, so it can be absent here."""
+    if phase == 0:
+        stack = stack[-rewind:]
+    elif phase == n_phases - 1:
+        stack = stack[:rewind]
+    else:
+        stack = stack[:rewind] + stack[-rewind:]
+    valid = [i for i in stack if mask_valid[i]]
+    if valid:
+        return valid
+    # rewind window shipped no masks: widen to any valid frame of the
+    # phase; a phase with NO masks at all keeps the window (degenerate,
+    # matches reference behavior)
+    valid = [i for i in range(len(mask_valid)) if mask_valid[i]]
+    return valid or stack
+
+
 def train_static(
     cameras: Sequence,
     points: np.ndarray,
@@ -300,16 +322,14 @@ def train_static(
 
         # frame sub-stack: all frames during std+entropy; rewind subset in label
         stack = list(range(len(phase_cams)))
+        mask_valid = np.asarray(batch.obj_mask_valid)
         # >= : a checkpoint taken exactly on the entropy-end boundary has
         # already applied the prune, so the label-phase rewind applies too
         if start_it >= sp.std_train_iter + sp.entropy_reg_iter and start_it > 0:
-            n_ph = len(static_phase_frames)
-            if phase == 0:
-                stack = stack[-sp.rewind_frames:]
-            elif phase == n_ph - 1:
-                stack = stack[: sp.rewind_frames]
-            else:
-                stack = stack[: sp.rewind_frames] + stack[-sp.rewind_frames:]
+            stack = _label_stack(
+                stack, phase, len(static_phase_frames), sp.rewind_frames,
+                mask_valid,
+            )
         CONSOLE.log(
             f"[static] phase {phase}: {len(phase_cams)} frames, "
             f"{total_iters} iters, capacity {model.capacity}"
@@ -346,10 +366,12 @@ def train_static(
 
             # drop-triggered capacity regrowth at the interval host-sync
             if it % opt_cfg.densification_interval == 0:
-                tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+                tile_cfg, last_drop, changed = maybe_regrow_tile_config(
                     model, batch.camera(0), tile_cfg, drop_max, last_drop,
                     "static",
                 )
+                if changed:  # new baseline: re-arm the running-max counter
+                    drop_max, last_drop = jnp.int32(0), 0
 
             # densification schedule (train_static.py:125-133)
             if it <= sp.densify_until_iter:
@@ -388,14 +410,10 @@ def train_static(
                     f"[static] pruned {int(n_pruned)} low-opacity; "
                     f"alive {int(model.num_alive)}"
                 )
-                n_phases = len(static_phase_frames)
-                rw = sp.rewind_frames
-                if phase == 0:
-                    stack = stack[-rw:]
-                elif phase == n_phases - 1:
-                    stack = stack[:rw]
-                else:
-                    stack = stack[:rw] + stack[-rw:]
+                stack = _label_stack(
+                    stack, phase, len(static_phase_frames),
+                    sp.rewind_frames, mask_valid,
+                )
 
             # save at the END of the iteration so a checkpoint landing on a
             # phase boundary captures the boundary prune (the rewound frame
@@ -530,9 +548,11 @@ def train_background(
             tile_config=tile_cfg, opt_cfg=opt_cfg,
         )
         if it % opt_cfg.densification_interval == 0:
-            tile_cfg, last_drop, _ = maybe_regrow_tile_config(
+            tile_cfg, last_drop, changed = maybe_regrow_tile_config(
                 model, batch.camera(0), tile_cfg, drop_max, last_drop, "bg"
             )
+            if changed:
+                drop_max, last_drop = jnp.int32(0), 0
         if it <= bp.densify_until_iter:
             if it > bp.densify_from_iter and it % opt_cfg.densification_interval == 0:
                 size_threshold = 20.0 if it > opt_cfg.opacity_reset_interval else None

@@ -272,7 +272,10 @@ class TestRasterizerSelfDiagnosis:
 
         lay = check_layout(proj, colors, opac, 96, 72, cfg)
         assert lay.mismatched_tiles == 0, lay
+        assert lay.overflowed_tiles == 0, lay
         assert lay.multi_chunk_tiles > 0, (
             "scene no longer multi-chunk; diagnosis coverage lost")
         ker = check_tilegrid_kernel(proj, colors, opac, 96, 72, cfg)
         assert ker.bad_tiles == 0, ker
+        assert ker.skipped_tiles == 0, (
+            "default max_chunks no longer covers the deepest tile", ker)

@@ -28,9 +28,11 @@ def scene_and_phases():
     # train.py:69-90 behavior).
     anchor = vid.static_phases[1][0]
     cam = vid.cameras[anchor]
-    vid.cameras[anchor] = dataclasses.replace(
-        cam, obj_mask=jnp.zeros_like(cam.obj_mask)
-    )
+    # None = the mask FILE is missing (obj_mask_valid False), like a real
+    # dataset whose shipped masks don't cover this frame — the label phase
+    # must then exclude it from BCE training (an all-zero stand-in would
+    # actively train the label toward zero)
+    vid.cameras[anchor] = dataclasses.replace(cam, obj_mask=None)
     scene = SceneData(
         cameras=vid.cameras,
         points=vid.points,

@@ -27,6 +27,11 @@ def tiny_config() -> Config:
         cfg.static,
         std_train_iter=60, entropy_reg_iter=15, label_train_iter=25,
         densify_from_iter=8, densify_until_iter=20, rewind_frames=3,
+        # the reference label_lr (0.001) is tuned for 30k label iters; at
+        # 25 toy iters labels move ~0.05 and never cross the 0.5
+        # segmentation threshold — scale it so the toy pipeline genuinely
+        # segments (Adam step ~ lr: 25 x 0.05 comfortably crosses 0.5)
+        label_lr=0.05,
     )
     cfg.static_bg = dataclasses.replace(
         cfg.static_bg,
