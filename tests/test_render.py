@@ -298,6 +298,45 @@ class TestOpacityAwareCull:
                                           opacities=hi)
         assert int(dropped2) == 0
 
+    def test_regrowth_rearm_semantics(self):
+        """After a changed regrowth the caller resets (drop_max, last_drop)
+        to 0 — verify the helper then retriggers on drops BELOW the
+        historical max (the counter is a running max; without the reset a
+        persistent 8k-drop after a one-off 10k-drop would never
+        retrigger), and that kernel-selecting fields survive regrowth."""
+        import dataclasses
+
+        from egogaussian_tpu.models import from_points
+        from egogaussian_tpu.render.tiled import TileConfig
+        from egogaussian_tpu.train.common import maybe_regrow_tile_config
+
+        rng = np.random.RandomState(16)
+        model = from_points(rng.randn(64, 3).astype(np.float32),
+                            rng.rand(64, 3).astype(np.float32), capacity=64)
+        cam = make_camera(width=48, height=32)
+        cfg = TileConfig(max_pairs=4096, max_per_tile=256, max_slots=4096,
+                         bwd_exact_total=True, compositor="stream")
+        cfg2, last, changed = maybe_regrow_tile_config(
+            model, cam, cfg, jnp.int32(10_000), 0, "test"
+        )
+        assert changed and last == 10_000
+        # kernel-selecting fields preserved (review finding: replace was
+        # rebuilding from the fresh estimate's defaults)
+        assert cfg2.bwd_exact_total is True
+        assert cfg2.compositor == "stream"
+        assert cfg2.tile_size == cfg.tile_size
+        # caller resets to (0, 0): a drop below the historical max must
+        # retrigger
+        cfg3, last3, changed3 = maybe_regrow_tile_config(
+            model, cam, cfg2, jnp.int32(8_000), 0, "test"
+        )
+        assert last3 == 8_000  # seen and processed, not short-circuited
+        # and without the reset (old bug): it would short-circuit
+        cfg4, last4, changed4 = maybe_regrow_tile_config(
+            model, cam, cfg2, jnp.int32(8_000), 10_000, "test"
+        )
+        assert not changed4 and last4 == 10_000
+
     def test_estimator_tracks_culled_stream(self):
         from egogaussian_tpu.render.tiled import bin_pairs, estimate_tile_config
 
