@@ -361,8 +361,14 @@ def main():
     if violations:
         record["kernel_tolerance_violations"] = violations
     # print the JSON FIRST so the measurement (incl. the backward-flavor
-    # A/B) is recorded even when the correctness gate then fails the run
+    # A/B) is recorded even when the correctness gate then fails the run;
+    # also persist to a file in case a failing rc discards stdout
     print(json.dumps(record))
+    try:
+        with open("BENCH_LAST.json", "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass
     if violations:
         raise AssertionError(
             f"pallas kernel errs past tolerance: {violations}"
