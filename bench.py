@@ -324,6 +324,43 @@ def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal",
     out = {k: float(f"{v:.3g}") for k, v in errs.items()}
     if violations:
         out["violations"] = violations
+        if backend == "pallas" and errs["grad_rel"] >= TOL_GRAD_ATOL * 100:
+            # self-diagnose IN the artifact: layout differential (exact,
+            # pair-for-pair) + dense HIGHEST-precision per-tile kernel
+            # check on THIS scene — separates layout bugs from kernel
+            # numerics without a follow-up session (render/debug.py)
+            try:
+                from egogaussian_tpu.render.api import _colors_from_sh
+                from egogaussian_tpu.render.debug import (
+                    check_layout, check_tilegrid_kernel,
+                )
+                from egogaussian_tpu.render.project import project_gaussians
+
+                cam0 = cam
+                proj = project_gaussians(
+                    model.params.xyz, model.covariance(), cam0.viewmat,
+                    cam0.fx, cam0.fy, cam0.cx, cam0.cy, width, height,
+                    valid_mask=model.aux.alive,
+                )
+                sh = jnp.concatenate(
+                    [model.params.features_dc, model.params.features_rest],
+                    axis=1,
+                )
+                cols = _colors_from_sh(sh, model.sh_degree, model.params.xyz,
+                                       cam0.camera_center)
+                opac = jnp.where(model.aux.alive, model.opacity, 0.0)
+                lay = check_layout(proj, cols, opac, width, height, tile_cfg)
+                ker = check_tilegrid_kernel(proj, cols, opac, width, height,
+                                            tile_cfg)
+                out["diagnosis"] = {
+                    "layout": lay._asdict(),
+                    "kernel_vs_dense_ref": {
+                        k: (float(f"{v:.3g}") if isinstance(v, float) else v)
+                        for k, v in ker._asdict().items()
+                    },
+                }
+            except Exception as e:  # diagnosis must never mask the gate
+                out["diagnosis_error"] = repr(e)
         if check:
             raise AssertionError(f"pallas kernel err past tolerance: {out}")
     return out
@@ -337,6 +374,9 @@ def main():
     errs["knn_image"] = errs_knn["image"]
     if "grad_rel_exact_total" in errs_knn:
         errs["knn_grad_rel_exact_total"] = errs_knn["grad_rel_exact_total"]
+    for k in ("diagnosis", "diagnosis_error"):
+        if k in errs_knn:
+            errs["knn_" + k] = errs_knn.pop(k)
     violations = errs.pop("violations", []) + [
         "knn_" + v for v in errs_knn.pop("violations", [])
     ]
