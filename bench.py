@@ -120,7 +120,20 @@ def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50):
     for i in range(n_iter):
         model, opt_state, loss = train_step(model, opt_state, jnp.int32(i % 4))
     jax.block_until_ready(loss)
-    return n_iter / (time.perf_counter() - t0)
+    ips = n_iter / (time.perf_counter() - t0)
+
+    # opacity growth during the warmup steps can outgrow the cull-aware
+    # capacities estimated at init — verify the measured configuration
+    # dropped nothing (a lossy config would be artificially fast)
+    cam0 = batch.camera(0)
+    res = jax.jit(lambda m: render_gaussians(
+        m, cam0, jnp.zeros(3), tile_config=tile_cfg, backend=backend
+    ))(model)
+    dropped = int(res.dropped_pairs)
+    if dropped:
+        print(f"# WARNING {width}x{height}: {dropped} pairs dropped at "
+              "measured capacities", flush=True)
+    return ips
 
 
 def _stage_iters_per_sec(width=640, height=480, n_iter=30):
