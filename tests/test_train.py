@@ -448,7 +448,15 @@ class TestMidStageCheckpoint:
         )
 
         # interrupted run: die on the first per-frame pose save (which
-        # happens right after the frame's checkpoint is written)
+        # happens right after the frame's checkpoint is written).
+        # NOT KeyboardInterrupt: pytest-xdist gives that special
+        # session-interrupt handling and twice crashed the worker here
+        # ("node down: Not properly terminated") when this ran late in the
+        # full suite — the trainer has no KeyboardInterrupt-specific
+        # handling, so any unwinding exception tests the same contract.
+        class SimulatedKill(RuntimeError):
+            pass
+
         d_res = str(tmp_path / "resumed")
         real_save = cp_mod.save_pose_sequence
         calls = {"n": 0}
@@ -457,10 +465,10 @@ class TestMidStageCheckpoint:
             calls["n"] += 1
             real_save(*a, **k)
             if calls["n"] == 1:
-                raise KeyboardInterrupt
+                raise SimulatedKill
 
         monkeypatch.setattr(cp_mod, "save_pose_sequence", dying_save)
-        with pytest.raises(KeyboardInterrupt):
+        with pytest.raises(SimulatedKill):
             estimate_coarse_obj_pose(
                 video.cameras, obj, cfg, static_groups, dynamic_groups, 4.0,
                 save_dir=d_res, checkpoint_every=1,
