@@ -1127,7 +1127,7 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
     p = ts * ts
     ch16 = _ch16(d)
 
-    vals_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vals_spec = pl.BlockSpec(memory_space=pl.ANY)
     bg_spec = pl.BlockSpec((1, d), lambda t, meta: (0, 0),
                            memory_space=pltpu.VMEM)
 
@@ -1167,7 +1167,7 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
             in_specs=[vals_spec, bg_spec,
                       out_spec(d), out_spec(1), out_spec(1),
                       out_spec(d), out_spec(1), out_spec(1)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((p, 1), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),
