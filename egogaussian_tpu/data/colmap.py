@@ -143,28 +143,39 @@ def read_images_binary(
 def read_images_text(
     path: str, image_names: Optional[List[str]] = None
 ) -> Dict[int, ColmapImage]:
+    """images.txt: each image is a header line followed by ONE points line
+    that may be EMPTY (zero observations). The points line must be consumed
+    unconditionally — filtering blank lines first would shift the 2-line
+    stride (the reference reads it with an unconditional readline,
+    colmap_loader.py:248-270)."""
     keep = set(image_names) if image_names is not None else None
     images = {}
     with open(path) as f:
-        lines = [
-            ln.strip() for ln in f if ln.strip() and not ln.strip().startswith("#")
-        ]
-    for i in range(0, len(lines), 2):
-        parts = lines[i].split()
-        name = parts[9]
-        pts = lines[i + 1].split() if i + 1 < len(lines) else []
-        if keep is not None and name not in keep:
-            continue
-        arr = np.array([float(x) for x in pts]).reshape(-1, 3) if pts else np.zeros((0, 3))
-        images[int(parts[0])] = ColmapImage(
-            id=int(parts[0]),
-            qvec=np.array([float(x) for x in parts[1:5]]),
-            tvec=np.array([float(x) for x in parts[5:8]]),
-            camera_id=int(parts[8]),
-            name=name,
-            xys=arr[:, :2],
-            point3d_ids=arr[:, 2].astype(np.int64),
-        )
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            pts = f.readline().split()  # points line, possibly empty
+            name = parts[9]
+            if keep is not None and name not in keep:
+                continue
+            arr = (
+                np.array([float(x) for x in pts]).reshape(-1, 3)
+                if pts else np.zeros((0, 3))
+            )
+            images[int(parts[0])] = ColmapImage(
+                id=int(parts[0]),
+                qvec=np.array([float(x) for x in parts[1:5]]),
+                tvec=np.array([float(x) for x in parts[5:8]]),
+                camera_id=int(parts[8]),
+                name=name,
+                xys=arr[:, :2],
+                point3d_ids=arr[:, 2].astype(np.int64),
+            )
     return images
 
 

@@ -54,16 +54,20 @@ class PipelineResult:
 def apply_predicted_masks(cameras, pred_masks: Dict[str, np.ndarray]):
     """Stage 1.1: complete partial object-mask sets with the static stage's
     predictions (reference train.py:80-90 copies predicted PNGs into the
-    dataset dir; here masks are injected into the camera list directly)."""
+    dataset dir; here masks are injected into the camera list directly).
+
+    Only frames whose mask FILE is absent (obj_mask is None) are completed —
+    the reference only copies files that don't exist, so a shipped all-zero
+    mask (object genuinely absent/occluded in that frame) is ground truth
+    and must survive, not be overwritten by a model prediction."""
     import jax.numpy as jnp
 
     out = []
     for cam in cameras:
-        if cam.obj_mask is None or float(np.asarray(cam.obj_mask).sum()) == 0:
-            if cam.image_name in pred_masks:
-                cam = dataclasses.replace(
-                    cam, obj_mask=jnp.asarray(pred_masks[cam.image_name][None])
-                )
+        if cam.obj_mask is None and cam.image_name in pred_masks:
+            cam = dataclasses.replace(
+                cam, obj_mask=jnp.asarray(pred_masks[cam.image_name][None])
+            )
         out.append(cam)
     return out
 

@@ -8,10 +8,30 @@ import pytest
 
 from egogaussian_tpu.data import make_synthetic_video
 from egogaussian_tpu.data.readers import SceneData, compute_nerfpp_norm
-from egogaussian_tpu.pipeline import run_pipeline
+from egogaussian_tpu.pipeline import apply_predicted_masks, run_pipeline
 from tests.test_train import tiny_config
 
-pytestmark = pytest.mark.slow
+
+def test_apply_predicted_masks_preserves_shipped_zero_mask():
+    """Stage 1.1 completes only frames whose mask FILE is absent
+    (obj_mask is None). A shipped all-zero mask is ground truth (object
+    genuinely absent in that frame) and must NOT be overwritten by a
+    prediction — the reference only copies files that don't exist
+    (train.py:80-90)."""
+    vid = make_synthetic_video(width=32, height=24, n_bg=40, n_obj=10,
+                               frames_static=2, frames_dynamic=1)
+    cams = list(vid.cameras)
+    zero = jnp.zeros_like(cams[0].obj_mask)
+    cams[0] = dataclasses.replace(cams[0], obj_mask=zero)   # shipped, empty
+    cams[1] = dataclasses.replace(cams[1], obj_mask=None)   # file absent
+    pred = np.ones((cams[0].height, cams[0].width), np.float32)
+    preds = {cams[0].image_name: pred, cams[1].image_name: pred}
+    out = apply_predicted_masks(cams, preds)
+    # shipped all-zero mask survives untouched
+    assert float(np.asarray(out[0].obj_mask).sum()) == 0.0
+    # absent mask is completed from the prediction
+    assert out[1].obj_mask is not None
+    assert float(np.asarray(out[1].obj_mask).sum()) > 0
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +63,7 @@ def scene_and_phases():
     return vid, scene
 
 
+@pytest.mark.slow
 def test_full_pipeline(scene_and_phases, tmp_path_factory):
     vid, scene = scene_and_phases
     save_dir = str(tmp_path_factory.mktemp("pipeline"))
