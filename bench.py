@@ -29,16 +29,36 @@ import time
 
 import numpy as np
 
-BASELINE_ITERS_PER_SEC = 30.0
+BASELINE_ITERS_PER_SEC = 30.0  # nominal: published 3DGS-class throughput on
+                               # a Titan Xp at ~480p (no exact ref number
+                               # exists; the roofline fields below are the
+                               # grounded claim)
 N_GAUSSIANS = 100_000
 
-# oracle-vs-pallas tolerances on the compiled kernels (f32, HIGHEST-precision
-# matmul scans; see .claude/skills/verify "known numerics caveats": deep
-# adversarial tiles accumulate ~1e-3 image err, trained scenes ~1e-5)
+# TPU v5e (lite) single-chip peak HBM bandwidth — the roofline for this
+# workload (rasterization is gather/scatter + short dot products: bandwidth
+# bound, nowhere near the MXU FLOP peak)
+V5E_HBM_GBPS = 819.0
+
+# oracle-vs-pallas tolerances on the compiled kernels. Root-caused round 3
+# (val_runs/diag_r3): the oracle-comparison noise floor on TPU is NOT kernel
+# error — it is (a) ALPHA_EPS threshold flips (every compositor zeroes
+# alpha<1/255, and Mosaic vs XLA round alpha differently at the boundary;
+# the oracle's OWN grads move by ~2.4e-3 per 1e-4 relative threshold shift
+# — measured envelope, diag E2) and (b) transmittance-product associativity
+# on deep tiles. The compiled kernel vs a dense HIGHEST-precision reference
+# with the SAME layout/threshold semantics agrees to ~1e-5 (diag D) — that
+# comparison carries the TIGHT gate below.
 TOL_IMAGE = 2.5e-3
 TOL_ALPHA = 5e-4
 TOL_DEPTH = 5e-3
 TOL_GRAD_ATOL = 5e-4   # grads normalized by their max-abs before compare
+# tight gate: compiled tilegrid kernel vs render/debug.check_tilegrid_kernel
+# dense per-tile reference (identical pair set + thresholds, HIGHEST
+# precision) — observed 1.3e-5 grad / 4e-7 fwd on TPU; 1e-3 catches any
+# real kernel regression without threshold-flip false alarms
+TOL_DENSE_REF_FWD = 1e-4
+TOL_DENSE_REF_GRAD = 1e-3
 
 
 def _scene(n, seed=0):
@@ -66,10 +86,41 @@ def _scene(n, seed=0):
     return dataclasses.replace(model, params=params)
 
 
+def _step_bytes_estimate(n, tile_cfg, width, height, d=3):
+    """Lower-bound HBM bytes moved by one full training step (render fwd +
+    bwd + Adam) from the measured binning capacities. Accounting (f32=4B):
+
+      params/optimizer : ~15 floats/gaussian x 7 passes (read fwd, read bwd,
+                         grad write, Adam m/v read+write, param write)
+      projection       : ~12 floats/gaussian x 4 passes (fwd write, binning
+                         read, bwd read, grad scatter)
+      pair sort        : max_pairs x 8B key+payload x ~4 radix passes x rw
+      pair-field gather: max_slots x 16ch x (gather write + kernel read) fwd
+                         + (kernel read + dvals write + scatter rw) bwd
+      pixels           : 5 out-channels x 4 passes + SSIM/L1 loss ~8 passes
+                         over 3 channels
+
+    Every term is data that MUST cross HBM at least this often for this
+    algorithm/layout; on-chip reuse can only make the true number larger
+    than the achieved-bandwidth figure derived from it."""
+    slots = tile_cfg.max_slots or tile_cfg.max_pairs
+    b = {
+        "params_adam": n * 15 * 4 * 7,
+        "projection": n * 12 * 4 * 4,
+        "pair_sort": tile_cfg.max_pairs * 8 * 8,
+        "pair_gather": slots * 16 * 4 * 6,
+        "pixels": width * height * 4 * (5 * 4 + 3 * 8),
+    }
+    b["total"] = sum(b.values())
+    return b
+
+
 def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50):
     """it/s of the full train step (render fwd+bwd+Adam) at width x height.
     n_warmup_train real steps are applied first (annealing the scene with
-    actual training, so the measured distribution is self-generated)."""
+    actual training, so the measured distribution is self-generated).
+    Returns (it/s, roofline dict: bytes/step lower bound, achieved HBM GB/s,
+    fraction of the v5e 819 GB/s peak)."""
     import dataclasses
 
     import jax
@@ -133,7 +184,17 @@ def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50):
     if dropped:
         print(f"# WARNING {width}x{height}: {dropped} pairs dropped at "
               "measured capacities", flush=True)
-    return ips
+
+    bytes_est = _step_bytes_estimate(
+        model.capacity, tile_cfg, width, height
+    )
+    gbps = bytes_est["total"] * ips / 1e9
+    roofline = {
+        "bytes_per_step_lower_bound": bytes_est["total"],
+        "hbm_gbps_achieved": round(gbps, 1),
+        "roofline_frac": round(gbps / V5E_HBM_GBPS, 3),
+    }
+    return ips, roofline
 
 
 def _stage_iters_per_sec(width=640, height=480, n_iter=30):
@@ -220,6 +281,80 @@ def _stage_iters_per_sec(width=640, height=480, n_iter=30):
         False, drop0, backend=backend, tile_config=tile_cfg, opt_cfg=cfg.opt,
     ))
     return {k: round(v, 2) for k, v in stages.items()}
+
+
+def _dense_ref_check(model, cam, width, height, tile_cfg):
+    """Layout differential (pair-for-pair) + dense HIGHEST-precision
+    per-tile kernel reference (render/debug.py) — the comparison that shares
+    the kernel's pair set and threshold semantics, so it carries the TIGHT
+    correctness gate (oracle comparisons have a measured threshold-flip
+    noise floor; see tolerance comments at the top)."""
+    import jax.numpy as jnp
+
+    from egogaussian_tpu.render.api import _colors_from_sh
+    from egogaussian_tpu.render.debug import check_layout, check_tilegrid_kernel
+    from egogaussian_tpu.render.project import project_gaussians
+
+    proj = project_gaussians(
+        model.params.xyz, model.covariance(), cam.viewmat,
+        cam.fx, cam.fy, cam.cx, cam.cy, width, height,
+        valid_mask=model.aux.alive,
+    )
+    sh = jnp.concatenate(
+        [model.params.features_dc, model.params.features_rest], axis=1
+    )
+    cols = _colors_from_sh(sh, model.sh_degree, model.params.xyz,
+                           cam.camera_center)
+    opac = jnp.where(model.aux.alive, model.opacity, 0.0)
+    lay = check_layout(proj, cols, opac, width, height, tile_cfg)
+    ker = check_tilegrid_kernel(proj, cols, opac, width, height, tile_cfg)
+    return {
+        "layout": lay._asdict(),
+        "kernel_vs_dense_ref": {
+            k: (float(f"{v:.3g}") if isinstance(v, float) else v)
+            for k, v in ker._asdict().items()
+        },
+    }
+
+
+def _bigshape_fwd_check(width, height, n=N_GAUSSIANS):
+    """Forward render correctness at the big operating points (1600x900 /
+    1080p): compiled pallas vs the XLA tiled compositor on the same binned
+    layout (the dense oracle is O(N*H*W) — infeasible at these shapes), plus
+    a zero-drop assertion at the estimated capacities (VERDICT r2 item 5:
+    the 99.5th-percentile truncation policy had never been observed at 1080p
+    occupancy)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from egogaussian_tpu.data import make_synthetic_video, stack_cameras
+    from egogaussian_tpu.train.common import auto_tile_config, render_gaussians
+
+    model = _scene(n, seed=5)
+    vid = make_synthetic_video(width=width, height=height, n_bg=64, n_obj=16,
+                               frames_static=2, frames_dynamic=1, seed=5)
+    batch = stack_cameras(vid.cameras[:2])
+    cam = batch.camera(0)
+    tile_cfg = auto_tile_config(model, cam, headroom=1.5)
+
+    def fwd(params, which):
+        m = dataclasses.replace(model, params=params)
+        return render_gaussians(m, cam, jnp.zeros(3), backend=which,
+                                tile_config=tile_cfg)
+
+    r_t = jax.jit(lambda p: fwd(p, "tiled"))(model.params)
+    r_p = jax.jit(lambda p: fwd(p, "pallas"))(model.params)
+    errs = {
+        "image": float(jnp.max(jnp.abs(r_t.image - r_p.image))),
+        "alpha": float(jnp.max(jnp.abs(r_t.alpha - r_p.alpha))),
+        "depth": float(jnp.max(jnp.abs(r_t.depth - r_p.depth))),
+        "dropped_pairs": int(r_p.dropped_pairs) + int(r_t.dropped_pairs),
+        "max_pairs": tile_cfg.max_pairs,
+    }
+    return {k: (float(f"{v:.3g}") if isinstance(v, float) else v)
+            for k, v in errs.items()}
 
 
 def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal",
@@ -326,6 +461,43 @@ def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal",
         errs["grad_rel_exact_total"] = grad_rel(gr_o, gr_e)
 
     violations = []
+    dense = None
+    if backend == "pallas" and scene == "knn":
+        # d=1 single-channel render (the label phase's shape): ch16 == 7+d
+        # exactly, which once produced a zero-sized Mosaic pad vector —
+        # compile + compare vs tiled here so every round re-proves the
+        # d=1 kernel on real hardware
+        from egogaussian_tpu.render.api import render as render_api
+
+        def label_img(which):
+            return jax.jit(lambda p: render_api(
+                cam, p.xyz, dataclasses.replace(model, params=p).covariance(),
+                model.opacity, bg=jnp.zeros((1,), p.xyz.dtype),
+                colors_precomp=p.label, valid_mask=model.aux.alive,
+                backend=which, tile_config=tile_cfg,
+            ).image)(model.params)
+
+        errs["label_d1_image"] = maxerr(label_img("pallas"),
+                                        label_img("tiled"))
+        if errs["label_d1_image"] >= TOL_IMAGE:
+            violations.append(f"label_d1_image {errs['label_d1_image']}")
+        # tight gate: compiled kernel vs the dense same-semantics reference
+        # at the training-init shape, every round, on real hardware
+        dense = _dense_ref_check(model, cam, width, height, tile_cfg)
+        k = dense["kernel_vs_dense_ref"]
+        errs["dense_ref_fwd"] = k["max_fwd_err"]
+        errs["dense_ref_grad"] = k["max_grad_err_rel"]
+        if k["max_fwd_err"] >= TOL_DENSE_REF_FWD:
+            violations.append(f"dense_ref_fwd {k['max_fwd_err']}")
+        if k["max_grad_err_rel"] >= TOL_DENSE_REF_GRAD:
+            violations.append(f"dense_ref_grad {k['max_grad_err_rel']}")
+        if int(k.get("bad_tiles", 0)) or int(
+            dense["layout"].get("mismatched_tiles", 0)
+        ):
+            violations.append(
+                f"dense_ref bad_tiles={k.get('bad_tiles')} "
+                f"layout_mismatch={dense['layout'].get('mismatched_tiles')}"
+            )
     if errs["image"] >= TOL_IMAGE:
         violations.append(f"image {errs['image']}")
     if errs["alpha"] >= TOL_ALPHA:
@@ -343,35 +515,9 @@ def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal",
             # check on THIS scene — separates layout bugs from kernel
             # numerics without a follow-up session (render/debug.py)
             try:
-                from egogaussian_tpu.render.api import _colors_from_sh
-                from egogaussian_tpu.render.debug import (
-                    check_layout, check_tilegrid_kernel,
+                out["diagnosis"] = dense if dense is not None else (
+                    _dense_ref_check(model, cam, width, height, tile_cfg)
                 )
-                from egogaussian_tpu.render.project import project_gaussians
-
-                cam0 = cam
-                proj = project_gaussians(
-                    model.params.xyz, model.covariance(), cam0.viewmat,
-                    cam0.fx, cam0.fy, cam0.cx, cam0.cy, width, height,
-                    valid_mask=model.aux.alive,
-                )
-                sh = jnp.concatenate(
-                    [model.params.features_dc, model.params.features_rest],
-                    axis=1,
-                )
-                cols = _colors_from_sh(sh, model.sh_degree, model.params.xyz,
-                                       cam0.camera_center)
-                opac = jnp.where(model.aux.alive, model.opacity, 0.0)
-                lay = check_layout(proj, cols, opac, width, height, tile_cfg)
-                ker = check_tilegrid_kernel(proj, cols, opac, width, height,
-                                            tile_cfg)
-                out["diagnosis"] = {
-                    "layout": lay._asdict(),
-                    "kernel_vs_dense_ref": {
-                        k: (float(f"{v:.3g}") if isinstance(v, float) else v)
-                        for k, v in ker._asdict().items()
-                    },
-                }
             except Exception as e:  # diagnosis must never mask the gate
                 out["diagnosis_error"] = repr(e)
         if check:
@@ -385,6 +531,9 @@ def main():
                                check=False)
     errs["knn_grad_rel"] = errs_knn["grad_rel"]
     errs["knn_image"] = errs_knn["image"]
+    for k in ("dense_ref_fwd", "dense_ref_grad"):
+        if k in errs_knn:
+            errs["knn_" + k] = errs_knn[k]
     if "grad_rel_exact_total" in errs_knn:
         errs["knn_grad_rel_exact_total"] = errs_knn["grad_rel_exact_total"]
     for k in ("diagnosis", "diagnosis_error"):
@@ -394,11 +543,28 @@ def main():
         "knn_" + v for v in errs_knn.pop("violations", [])
     ]
 
-    ips_480 = _train_iters_per_sec(
+    # forward correctness + zero-drop at the big operating points
+    big_checks = {
+        "1600x900": _bigshape_fwd_check(1600, 900),
+        "1920x1080": _bigshape_fwd_check(1920, 1080),
+    }
+    for shape, c in big_checks.items():
+        if c["image"] >= TOL_IMAGE:
+            violations.append(f"{shape}_image {c['image']}")
+        if c["dropped_pairs"]:
+            violations.append(f"{shape}_dropped {c['dropped_pairs']}")
+
+    # every reported number is self-generated: warmup TRAINING steps anneal
+    # the scene at each resolution before timing
+    ips_480, roof_480 = _train_iters_per_sec(
         _scene(N_GAUSSIANS), 640, 480, n_warmup_train=300
     )
-    ips_1600 = _train_iters_per_sec(_scene(N_GAUSSIANS), 1600, 900)
-    ips_1080 = _train_iters_per_sec(_scene(N_GAUSSIANS), 1920, 1080)
+    ips_1600, roof_1600 = _train_iters_per_sec(
+        _scene(N_GAUSSIANS), 1600, 900, n_warmup_train=150
+    )
+    ips_1080, roof_1080 = _train_iters_per_sec(
+        _scene(N_GAUSSIANS), 1920, 1080, n_warmup_train=100
+    )
     stages = _stage_iters_per_sec()
 
     record = {
@@ -406,8 +572,16 @@ def main():
         "value": round(ips_480, 3),
         "unit": "iters/sec (full fwd+bwd+adam, 640x480, 100k gaussians)",
         "vs_baseline": round(ips_480 / BASELINE_ITERS_PER_SEC, 3),
+        "vs_baseline_note": "nominal Titan-Xp-class 3DGS envelope "
+                            f"({BASELINE_ITERS_PER_SEC} it/s); the grounded "
+                            "claim is `roofline` (bytes-moved lower bound / "
+                            "measured step time vs the v5e 819 GB/s peak)",
         "iters_per_sec_1600x900_100k": round(ips_1600, 3),
         "iters_per_sec_1920x1080_100k": round(ips_1080, 3),
+        "roofline": {
+            "480p": roof_480, "1600x900": roof_1600, "1080p": roof_1080,
+        },
+        "bigshape_pallas_vs_tiled": big_checks,
         "stage_iters_per_sec_480p": stages,
         "kernel_max_err_vs_oracle": errs,
     }

@@ -35,8 +35,29 @@ def main(argv=None):
                         help="mid-stage checkpoint interval (0 = off)")
     parser.add_argument("--lpips_weights", default=None,
                         help=".npz LPIPS weights (eval/lpips.py)")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="frame-data-parallel training over an N-device "
+                             "mesh (0 = single device); frame batches are "
+                             "sharded across devices and gradients psum'd "
+                             "over ICI")
     args = parser.parse_args(argv)
     cfg = extract_config(args)
+
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        import jax
+
+        from egogaussian_tpu.parallel import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < args.mesh:
+            parser.error(
+                f"--mesh {args.mesh}: only {len(devices)} devices visible "
+                "(for a virtual CPU mesh set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+            )
+        mesh = make_mesh(n_data=args.mesh, devices=devices[: args.mesh])
+        CONSOLE.print(f"Frame-DP over {args.mesh} devices: {mesh}")
 
     src = cfg.model.source_path
     out = cfg.model.model_path or os.path.join(src, "output")
@@ -83,6 +104,7 @@ def main(argv=None):
         resume=args.resume,
         lpips_fn=lpips_fn,
         checkpoint_every=args.checkpoint_every,
+        mesh=mesh,
     )
     CONSOLE.print("Final metrics:", result.metrics)
     return result

@@ -87,7 +87,12 @@ def run_pipeline(
     lpips_fn=None,
     fine_variant: str = "from-coarse",
     checkpoint_every: int = 0,
+    mesh=None,
 ) -> PipelineResult:
+    """`mesh`: optional jax.sharding.Mesh with a "data" axis — the static and
+    background stages then run their frame batches frame-data-parallel
+    (train/static._dp_static_step); pose stages are sequential by nature
+    (each frame's pose chains off the previous) and stay single-device."""
     cameras = scene.cameras
     extent = scene.cameras_extent
     static_groups = split_viewpoints_by_phase(cameras, static_phases, training_frames)
@@ -111,7 +116,7 @@ def run_pipeline(
         static_results = train_static(
             cameras, scene.points, scene.colors, cfg, static_groups, extent,
             save_dir=static_dir, seed=seed, backend=backend,
-            checkpoint_every=checkpoint_every,
+            checkpoint_every=checkpoint_every, mesh=mesh,
         )
         obj_model = static_results[0].obj_model
         obj_model = dataclasses.replace(obj_model, spatial_lr_scale=extent)
@@ -152,7 +157,7 @@ def run_pipeline(
         bg_model = train_background(
             cameras, scene.points, scene.colors, cfg, all_train_idx, extent,
             save_dir=bg_dir, seed=seed, backend=backend,
-            checkpoint_every=checkpoint_every,
+            checkpoint_every=checkpoint_every, mesh=mesh,
         )
         bg_model = dataclasses.replace(bg_model, spatial_lr_scale=extent)
 

@@ -1075,11 +1075,13 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
             for jj in range(d)
         ]
         dz = jnp.sum(w * gdepth, axis=0, keepdims=True)
-        pad = jnp.zeros((ch16 - (7 + d), _CHUNK), dtype)
-        dblk = jnp.concatenate(
-            [dmu_x, dmu_y, da, db, dc, dop] + dcols + [dz, pad], axis=0
-        )  # [ch16, 128]
-        return dblk
+        rows = [dmu_x, dmu_y, da, db, dc, dop] + dcols + [dz]
+        n_pad = ch16 - (7 + d)
+        # d=1 (label render) has ch16 == 7+d: Mosaic rejects zero-sized
+        # vector types, so only append a pad block when it is non-empty
+        if n_pad:
+            rows.append(jnp.zeros((n_pad, _CHUNK), dtype))
+        return jnp.concatenate(rows, axis=0)  # [ch16, 128]
 
     if use_pipeline:
         def chunk_body(blk_ref, dblk_ref):

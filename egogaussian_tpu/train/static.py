@@ -35,7 +35,6 @@ import numpy as np
 from egogaussian_tpu.config import Config
 from egogaussian_tpu.data.readers import FrameBatch, dilate_mask, stack_cameras
 from egogaussian_tpu.models.densify import (
-    add_densification_stats,
     densify_and_prune,
     prune_by_opacity,
     reset_opacity,
@@ -63,62 +62,25 @@ from egogaussian_tpu.train.common import (
 from egogaussian_tpu.utils.console import CONSOLE
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mode", "lambda_dssim", "backend", "tile_config", "opt_cfg",
-        "label_lr",
-    ),
-)
-def _static_step(
+def _frames_loss_grads(
     model: GaussianModel,
-    opt_state,
     batch: FrameBatch,
-    frame_idx: jnp.ndarray,
+    fidxs: jnp.ndarray,  # [K] int32 frame indices
     grad_masks: jnp.ndarray,
-    it: jnp.ndarray,
-    drop_max=0,
-    mode: str = "std",
-    lambda_dssim: float = 0.2,
-    backend: str = "tiled",
-    tile_config=None,
-    bg_color=None,
-    opt_cfg=None,
-    label_lr: float = 0.0,
+    mode: str,
+    lambda_dssim: float,
+    backend: str,
+    tile_config,
+    bg: jnp.ndarray,
 ):
-    """One training iteration. mode in {"std", "entropy", "label"}.
-    `bg_color`: optional traced [3] background (random_background support,
-    reference OptimizationParams.random_background).
-    `grad_masks` [F,1,H,W]: per-frame pixels whose gradients are zeroed
-    (hand, or dilated hand|obj for the background stage) — indexed by the
-    traced frame_idx IN-JIT.
+    """Gradient of the MEAN loss over `fidxs` w.r.t. (params, means2d probe).
 
-    The LR tree is computed INSIDE the step from the traced iteration
-    counter and the (static, hashable) OptimizationParams: building it on
-    the host dispatched ~8 tiny eager device ops per iteration, which over
-    the remote-TPU tunnel cost more than the whole compiled step (measured
-    ~2.4 it/s vs ~34 it/s at 480p).
-
-    `frame_idx` may be a scalar (reference semantics: one frame per update)
-    or a [K] vector (StaticParams.frame_batch): the photometric gradient is
-    then the MEAN over K frames rendered in one step via lax.scan —
-    sequential per frame, so binning buffers stay single-frame sized —
-    while densification statistics are accumulated per frame exactly as K
-    separate reference iterations would (the 1/K mean scaling is undone on
-    the probe gradients)."""
-    fidxs = jnp.atleast_1d(jnp.asarray(frame_idx, jnp.int32))
+    Shared by the single-device step (`_static_step`, lax.scan over frames)
+    and the frame-data-parallel step (`_dp_static_step`, each device scans
+    its local shard and psums). Returns
+    (param_grads, probe_grads [K,cap,2], losses [K], radii [K,cap],
+    dropped [K])."""
     n_frames = fidxs.shape[0]
-    if mode == "label":
-        lr_tree = gaussian_lr_tree(
-            model.params, it, opt_cfg, model.spatial_lr_scale,
-            zero_gaussians=True,
-        )
-        lr_tree = dataclasses.replace(lr_tree, label=jnp.float32(label_lr))
-    else:
-        lr_tree = gaussian_lr_tree(
-            model.params, it, opt_cfg, model.spatial_lr_scale, label_lr=0.0
-        )
-    bg = jnp.zeros(3, model.params.xyz.dtype) if bg_color is None else bg_color
     probe = jnp.zeros((n_frames, model.capacity, 2), model.params.xyz.dtype)
 
     def loss_fn(params, probe):
@@ -166,30 +128,229 @@ def _static_step(
             )
         return jnp.mean(losses), (radii, losses, dropped)
 
-    grads, (radii, loss, dropped) = jax.grad(
+    grads, (radii, losses, dropped) = jax.grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(model.params, probe)
-    param_grads, probe_grads = grads
-    # the reference accumulates screen-space gradients in NDC units (the
-    # CUDA backward scales dL/dmean2D by W/2, H/2); our probe is in pixels,
-    # so rescale — otherwise the tuned densify_grad_threshold (2e-4)
-    # under-triggers by ~W/2 at any resolution
-    ndc_scale = jnp.array(
-        [batch.width * 0.5, batch.height * 0.5], model.params.xyz.dtype
+    return grads[0], grads[1], losses, radii, dropped
+
+
+def _probe_stats(batch, probe_grads, radii, undo_mean_k):
+    """Densification-statistic contributions of a frame set, reduced over
+    the frame axis. Summation order differs from K sequential
+    `add_densification_stats` calls only by float reassociation.
+
+    The reference accumulates screen-space gradients in NDC units (the CUDA
+    backward scales dL/dmean2D by W/2, H/2); the probe is in pixels, so
+    rescale — otherwise the tuned densify_grad_threshold (2e-4)
+    under-triggers by ~W/2 at any resolution. `undo_mean_k` undoes the
+    1/K of the mean loss so each frame contributes the same statistic as a
+    standalone reference iteration."""
+    dtype = probe_grads.dtype
+    ndc_scale = jnp.array([batch.width * 0.5, batch.height * 0.5], dtype)
+    g = probe_grads * (ndc_scale * undo_mean_k)
+    gnorm = jnp.linalg.norm(g[..., :2], axis=-1)  # [K, cap]
+    visible = radii > 0
+    gn_sum = jnp.sum(jnp.where(visible, gnorm, 0.0), axis=0)
+    den_sum = jnp.sum(visible.astype(jnp.float32), axis=0)
+    rad_max = jnp.max(
+        jnp.where(visible, radii.astype(jnp.float32), 0.0), axis=0
     )
-    # undo the mean's 1/K on the probe grads so each frame contributes the
-    # same statistic as a standalone reference iteration
-    for k in range(n_frames):
-        model = add_densification_stats(
-            model, probe_grads[k] * (ndc_scale * n_frames), radii[k]
+    return gn_sum, den_sum, rad_max
+
+
+def _apply_probe_stats(model, gn_sum, den_sum, rad_max):
+    """Fold reduced densification statistics into the model aux
+    (add_densification_stats semantics, applied once per step)."""
+    aux = dataclasses.replace(
+        model.aux,
+        xyz_gradient_accum=model.aux.xyz_gradient_accum + gn_sum,
+        denom=model.aux.denom + den_sum,
+        max_radii2d=jnp.maximum(model.aux.max_radii2d, rad_max),
+    )
+    return dataclasses.replace(model, aux=aux)
+
+
+def _static_lr_tree(model, it, opt_cfg, mode, label_lr):
+    """Per-field LR tree for the static step, computed IN-JIT from the
+    traced iteration counter (see `_static_step` docstring)."""
+    if mode == "label":
+        lr_tree = gaussian_lr_tree(
+            model.params, it, opt_cfg, model.spatial_lr_scale,
+            zero_gaussians=True,
         )
+        return dataclasses.replace(lr_tree, label=jnp.float32(label_lr))
+    return gaussian_lr_tree(
+        model.params, it, opt_cfg, model.spatial_lr_scale, label_lr=0.0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "lambda_dssim", "backend", "tile_config", "opt_cfg",
+        "label_lr",
+    ),
+)
+def _static_step(
+    model: GaussianModel,
+    opt_state,
+    batch: FrameBatch,
+    frame_idx: jnp.ndarray,
+    grad_masks: jnp.ndarray,
+    it: jnp.ndarray,
+    drop_max=0,
+    mode: str = "std",
+    lambda_dssim: float = 0.2,
+    backend: str = "tiled",
+    tile_config=None,
+    bg_color=None,
+    opt_cfg=None,
+    label_lr: float = 0.0,
+):
+    """One training iteration. mode in {"std", "entropy", "label"}.
+    `bg_color`: optional traced [3] background (random_background support,
+    reference OptimizationParams.random_background).
+    `grad_masks` [F,1,H,W]: per-frame pixels whose gradients are zeroed
+    (hand, or dilated hand|obj for the background stage) — indexed by the
+    traced frame_idx IN-JIT.
+
+    The LR tree is computed INSIDE the step from the traced iteration
+    counter and the (static, hashable) OptimizationParams: building it on
+    the host dispatched ~8 tiny eager device ops per iteration, which over
+    the remote-TPU tunnel cost more than the whole compiled step (measured
+    ~2.4 it/s vs ~34 it/s at 480p).
+
+    `frame_idx` may be a scalar (reference semantics: one frame per update)
+    or a [K] vector (StaticParams.frame_batch): the photometric gradient is
+    then the MEAN over K frames rendered in one step via lax.scan —
+    sequential per frame, so binning buffers stay single-frame sized —
+    while densification statistics are accumulated per frame exactly as K
+    separate reference iterations would (the 1/K mean scaling is undone on
+    the probe gradients)."""
+    fidxs = jnp.atleast_1d(jnp.asarray(frame_idx, jnp.int32))
+    n_frames = fidxs.shape[0]
+    lr_tree = _static_lr_tree(model, it, opt_cfg, mode, label_lr)
+    bg = jnp.zeros(3, model.params.xyz.dtype) if bg_color is None else bg_color
+
+    param_grads, probe_grads, losses, radii, dropped = _frames_loss_grads(
+        model, batch, fidxs, grad_masks, mode, lambda_dssim, backend,
+        tile_config, bg,
+    )
+    model = _apply_probe_stats(
+        model, *_probe_stats(batch, probe_grads, radii, n_frames)
+    )
     new_params, new_opt = adam_update(model.params, param_grads, opt_state, lr_tree)
     model = dataclasses.replace(model, params=new_params)
     out_radii = radii[0] if jnp.ndim(frame_idx) == 0 else radii
     return (
-        model, new_opt, jnp.mean(loss), out_radii,
+        model, new_opt, jnp.mean(losses), out_radii,
         jnp.maximum(drop_max, jnp.max(dropped)),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "mode", "lambda_dssim", "backend", "tile_config", "opt_cfg",
+        "label_lr", "axis",
+    ),
+)
+def _dp_static_step(
+    model: GaussianModel,
+    opt_state,
+    batch: FrameBatch,
+    frame_idx: jnp.ndarray,  # [K] frame indices, K % mesh.shape[axis] == 0
+    grad_masks: jnp.ndarray,
+    it: jnp.ndarray,
+    drop_max=0,
+    mesh=None,
+    mode: str = "std",
+    lambda_dssim: float = 0.2,
+    backend: str = "tiled",
+    tile_config=None,
+    bg_color=None,
+    opt_cfg=None,
+    label_lr: float = 0.0,
+    axis: str = "data",
+):
+    """Frame-data-parallel `_static_step`: the K-frame batch is sharded over
+    the mesh's `axis`; each device runs the REAL per-frame loss body
+    (`_frames_loss_grads` — same scan body as the single-device step) on its
+    local shard, parameter gradients are `pmean`'d over ICI and the Adam
+    update is applied replicated. Densification statistics reduce exactly as
+    K sequential reference iterations: per-Gaussian grad-norm sums and
+    visibility counts are `psum`'d, the max screen radius is `pmax`'d.
+
+    This is the TPU replacement for training-loop throughput the reference
+    obtains only by job-level parallelism (SURVEY §2.3): semantics equal the
+    single-device frame_batch path (tests assert ~1e-5), wall-clock divides
+    by the data-axis size."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    fidxs = jnp.asarray(frame_idx, jnp.int32)
+    assert fidxs.shape[0] % n_dev == 0, (
+        f"frame batch {fidxs.shape[0]} not divisible by {axis}={n_dev}"
+    )
+    lr_tree = _static_lr_tree(model, it, opt_cfg, mode, label_lr)
+    bg = jnp.zeros(3, model.params.xyz.dtype) if bg_color is None else bg_color
+
+    def body(model, opt_state, batch, fidxs_local, grad_masks, it, drop_max,
+             bg, lr_tree):
+        k_local = fidxs_local.shape[0]
+        param_g, probe_g, losses, radii, dropped = _frames_loss_grads(
+            model, batch, fidxs_local, grad_masks, mode, lambda_dssim,
+            backend, tile_config, bg,
+        )
+        # mean over ALL K frames = pmean of per-device local means
+        param_g = jax.lax.pmean(param_g, axis)
+        loss = jax.lax.pmean(jnp.mean(losses), axis)
+        gn, den, rmax = _probe_stats(batch, probe_g, radii, k_local)
+        gn = jax.lax.psum(gn, axis)
+        den = jax.lax.psum(den, axis)
+        rmax = jax.lax.pmax(rmax, axis)
+        m = _apply_probe_stats(model, gn, den, rmax)
+        new_params, new_opt = adam_update(m.params, param_g, opt_state, lr_tree)
+        m = dataclasses.replace(m, params=new_params)
+        drop = jnp.maximum(
+            drop_max, jax.lax.pmax(jnp.max(dropped), axis)
+        )
+        return m, new_opt, loss, radii, drop
+
+    repl = P()
+    shard = P(axis)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(repl, repl, repl, shard, repl, repl, repl, repl, repl),
+        out_specs=(repl, repl, repl, shard, repl),
+        check_vma=False,
+    )
+    return mapped(model, opt_state, batch, fidxs, grad_masks, it,
+                  jnp.asarray(drop_max, jnp.int32), bg, lr_tree)
+
+
+def _run_static_step(mesh, model, opt_state, batch, fidx, grad_masks, it,
+                     drop_max, **kw):
+    """Route one static/bg iteration to the single-device or the
+    frame-data-parallel step. `fidx` may be a scalar or [K]."""
+    if mesh is None or mesh.shape.get("data", 1) <= 1 or np.ndim(fidx) == 0:
+        return _static_step(model, opt_state, batch, fidx, grad_masks, it,
+                            drop_max, **kw)
+    return _dp_static_step(model, opt_state, batch, fidx, grad_masks, it,
+                           drop_max, mesh=mesh, **kw)
+
+
+def _dp_frame_batch(fb: int, mesh) -> int:
+    """Effective frame batch: a data mesh needs fb % n_data == 0; raise
+    fb to the axis size when needed (one frame per device minimum)."""
+    if mesh is None:
+        return max(1, fb)
+    n = mesh.shape.get("data", 1)
+    fb = max(1, fb)
+    if fb % n:
+        fb = ((fb + n - 1) // n) * n
+    return fb
 
 
 def _log_dropped_pairs(stage: str, phase, drop_max) -> None:
@@ -276,9 +437,14 @@ def train_static(
     backend: str = "auto",
     first_phase_only: bool = False,
     checkpoint_every: int = 0,
+    mesh=None,
 ) -> List[StaticPhaseResult]:
     """Stage 1.0. `static_phase_frames`: per-phase lists of camera indices
-    (from data.readers.split_viewpoints_by_phase)."""
+    (from data.readers.split_viewpoints_by_phase).
+
+    `mesh`: optional jax.sharding.Mesh with a "data" axis — the frame batch
+    is then sharded across devices per `_dp_static_step` (frame_batch is
+    raised to a multiple of the axis size)."""
     rng = np.random.RandomState(seed)
     sp = cfg.static
     opt_cfg = cfg.opt
@@ -336,7 +502,7 @@ def train_static(
         )
         drop_max = jnp.int32(0)  # worst binning-capacity loss seen (device)
         last_drop = 0
-        fb = max(1, sp.frame_batch)
+        fb = _dp_frame_batch(sp.frame_batch, mesh)
         for it in range(start_it + 1, total_iters + 1):
             if fb == 1:
                 fidx = stack[rng.randint(len(stack))]
@@ -356,8 +522,8 @@ def train_static(
                 rng.rand(3).astype(np.float32)
                 if opt_cfg.random_background else None
             )
-            model, opt_state, loss, radii, drop_max = _static_step(
-                model, opt_state, batch, fidx, batch.hand_masks, it,
+            model, opt_state, loss, radii, drop_max = _run_static_step(
+                mesh, model, opt_state, batch, fidx, batch.hand_masks, it,
                 drop_max,
                 mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
                 tile_config=tile_cfg, bg_color=bg_color, opt_cfg=opt_cfg,
@@ -475,6 +641,7 @@ def train_background(
     backend: str = "auto",
     dilate_size: int = 5,
     checkpoint_every: int = 0,
+    mesh=None,
 ) -> GaussianModel:
     """Stage 1.2: background 3DGS over all phases' frames with the
     interaction mask = dilate(hand | obj) gating gradients
@@ -534,15 +701,15 @@ def train_background(
 
     drop_max = jnp.int32(0)
     last_drop = 0
-    fb = max(1, bp.frame_batch)
+    fb = _dp_frame_batch(bp.frame_batch, mesh)
     for it in range(start_it + 1, total_iters + 1):
         if fb == 1:
             fidx = rng.randint(len(train_cams))
         else:
             fidx = rng.randint(len(train_cams), size=fb).astype(np.int32)
         mode = "std" if it <= bp.std_train_iter else "entropy"
-        model, opt_state, loss, radii, drop_max = _static_step(
-            model, opt_state, batch, fidx, int_masks_j, it,
+        model, opt_state, loss, radii, drop_max = _run_static_step(
+            mesh, model, opt_state, batch, fidx, int_masks_j, it,
             drop_max,
             mode=mode, lambda_dssim=opt_cfg.lambda_dssim, backend=backend,
             tile_config=tile_cfg, opt_cfg=opt_cfg,

@@ -83,6 +83,103 @@ class TestDataParallel:
         assert losses[-1] < losses[0]
 
 
+class TestDpStaticStep:
+    """The REAL stage step (train.static._static_step) under frame-DP:
+    shard_map over the data axis must reproduce the single-device scan path
+    exactly (grads pmean'd, densify stats psum/pmax'd) — VERDICT r2 item 3."""
+
+    def _problem(self):
+        model, batch = scene_fixture()
+        opt = adam_init(model.params)
+        cfg = Config()
+        from egogaussian_tpu.train.common import auto_tile_config
+
+        tile_cfg = auto_tile_config(model, batch.camera(0))
+        return model, opt, batch, cfg, tile_cfg
+
+    @pytest.mark.parametrize("mode", ["std", "entropy", "label"])
+    def test_matches_single_device_scan(self, mode):
+        from egogaussian_tpu.train.static import _dp_static_step, _static_step
+
+        model, opt, batch, cfg, tile_cfg = self._problem()
+        fidxs = jnp.arange(8, dtype=jnp.int32)
+        kw = dict(
+            mode=mode, lambda_dssim=cfg.opt.lambda_dssim, backend="tiled",
+            tile_config=tile_cfg, opt_cfg=cfg.opt, label_lr=0.05,
+        )
+        m1, o1, loss1, radii1, drop1 = _static_step(
+            model, opt, batch, fidxs, batch.hand_masks, jnp.int32(3), 0, **kw
+        )
+        mesh = make_mesh(n_data=8)
+        m8, o8, loss8, radii8, drop8 = _dp_static_step(
+            model, opt, batch, fidxs, batch.hand_masks, jnp.int32(3), 0,
+            mesh=mesh, **kw
+        )
+        np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(radii8), np.asarray(radii1), atol=0
+        )
+        assert int(drop8) == int(drop1)
+        for name in ("xyz", "log_scales", "quats", "opacity_logit",
+                     "features_dc", "label"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(m8.params, name)),
+                np.asarray(getattr(m1.params, name)),
+                atol=2e-5, err_msg=name,
+            )
+        # densification statistics must reduce exactly like K sequential
+        # reference iterations
+        np.testing.assert_allclose(
+            np.asarray(m8.aux.xyz_gradient_accum),
+            np.asarray(m1.aux.xyz_gradient_accum), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m8.aux.denom), np.asarray(m1.aux.denom), atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(m8.aux.max_radii2d), np.asarray(m1.aux.max_radii2d),
+            atol=0,
+        )
+
+    def test_dp_frame_batch_rounding(self):
+        from egogaussian_tpu.train.static import _dp_frame_batch
+
+        mesh = make_mesh(n_data=8)
+        assert _dp_frame_batch(1, None) == 1
+        assert _dp_frame_batch(4, None) == 4
+        assert _dp_frame_batch(1, mesh) == 8
+        assert _dp_frame_batch(8, mesh) == 8
+        assert _dp_frame_batch(9, mesh) == 16
+
+    def test_train_background_on_mesh(self, tmp_path):
+        """The real train_background loop end-to-end on the 8-device mesh
+        (densify + opacity reset + checkpoint hooks all crossing the
+        sharded step)."""
+        from egogaussian_tpu.train.static import train_background
+
+        vid = make_synthetic_video(width=32, height=24, n_bg=40, n_obj=12,
+                                   frames_static=4, frames_dynamic=2, seed=0)
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg,
+            static_bg=dataclasses.replace(
+                cfg.static_bg, std_train_iter=8, entropy_reg_iter=4,
+                densify_from_iter=2, densify_until_iter=6, frame_batch=8,
+            ),
+        )
+        mesh = make_mesh(n_data=8)
+        model = train_background(
+            vid.cameras, vid.points, vid.colors, cfg,
+            list(range(len(vid.cameras))), 1.0,
+            save_dir=str(tmp_path), backend="tiled", mesh=mesh,
+        )
+        # 12 toy iters can't lift opacities past the final 0.5 prune, so
+        # num_alive may be 0 — this test checks the DP wiring end-to-end
+        # (densify + opacity reset + prune all crossing the sharded step)
+        assert np.isfinite(np.asarray(model.params.xyz)).all()
+        assert (tmp_path / "static_bg.ply").exists()
+
+
 class TestMultiScene:
     def test_two_scenes_match_individual(self):
         cfg = Config()
