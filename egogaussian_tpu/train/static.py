@@ -62,6 +62,11 @@ from egogaussian_tpu.train.common import (
 from egogaussian_tpu.utils.console import CONSOLE
 
 
+# frame batches up to this size are unrolled in the step graph instead of
+# lax.scan'd (independent frames overlap; compile time grows with K)
+_FB_UNROLL_MAX = 8
+
+
 def _frames_loss_grads(
     model: GaussianModel,
     batch: FrameBatch,
@@ -122,6 +127,18 @@ def _frames_loss_grads(
             _, (loss, radii, dropped) = one_frame(0, (fidxs[0], probe[0]))
             losses = loss[None]
             radii, dropped = radii[None], dropped[None]
+        elif n_frames <= _FB_UNROLL_MAX:
+            # small batches are UNROLLED: the frames are independent, so
+            # without the scan's sequential carry XLA is free to overlap
+            # frame A's pair gathers with frame B's kernel (the scan path
+            # measured ~12% slower per frame than standalone steps)
+            outs = [
+                one_frame(0, (fidxs[k], probe[k]))[1]
+                for k in range(n_frames)
+            ]
+            losses = jnp.stack([o[0] for o in outs])
+            radii = jnp.stack([o[1] for o in outs])
+            dropped = jnp.stack([o[2] for o in outs])
         else:
             _, (losses, radii, dropped) = jax.lax.scan(
                 one_frame, 0, (fidxs, probe)

@@ -182,6 +182,42 @@ class TestStaticStep:
             + np.asarray(mb.aux.denom - base.denom),
         )
 
+    def test_frame_batch_unroll_matches_scan(self, video):
+        """The unrolled small-batch branch of `_frames_loss_grads`
+        (K <= _FB_UNROLL_MAX, a pure throughput optimization) must be
+        numerically equivalent to the lax.scan branch it replaces —
+        losses, parameter grads, and radii."""
+        from egogaussian_tpu.train import static as st
+        from egogaussian_tpu.train.common import auto_tile_config
+
+        batch = stack_cameras(video.cameras[:4])
+        model = from_points(video.points, video.colors, capacity=512)
+        tc = auto_tile_config(model, video.cameras[0])
+        gm = jnp.zeros((4,), jnp.uint8)
+        bg = jnp.zeros((3,), jnp.float32)
+
+        def run(unroll_max):
+            old = st._FB_UNROLL_MAX
+            st._FB_UNROLL_MAX = unroll_max
+            try:
+                fn = jax.jit(lambda m: st._frames_loss_grads(
+                    m, batch, jnp.arange(4), gm, "std", 0.2,
+                    "tiled", tc, bg))
+                return fn(model)
+            finally:
+                st._FB_UNROLL_MAX = old
+
+        pu, _, lu, ru, _ = run(8)   # unrolled branch
+        ps, _, ls, rs, _ = run(0)   # forced scan branch
+        np.testing.assert_allclose(np.asarray(lu), np.asarray(ls),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ru), np.asarray(rs))
+        for a, b in zip(jax.tree_util.tree_leaves(pu),
+                        jax.tree_util.tree_leaves(ps)):
+            if a.size:
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)
+
     def test_label_mode_moves_only_label(self, video):
         batch = stack_cameras(video.cameras[:2])
         model = from_points(video.points, video.colors, capacity=512)
