@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from egogaussian_tpu.ops import covariance_from_scaling_rotation
 from egogaussian_tpu.render.api import render
 from egogaussian_tpu.render.tiled import TileConfig
 from tests.test_render import make_camera, random_scene
@@ -83,6 +84,62 @@ class TestPallasBackward:
         g_t = jax.grad(lambda p: loss("tiled", p))(probe)
         g_p = jax.grad(lambda p: loss("pallas", p))(probe)
         np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_t), atol=2e-4)
+
+
+class TestSaturationEarlySkip:
+    """The tilegrid kernels skip a tile's remaining chunks once every
+    pixel's transmittance drops below _SAT_SKIP_EPS (pallas_raster.py).
+    Build a 140-deep stack of broad alpha~0.2 splats: chunk 2 (pairs
+    129..140) sits behind T ~ 1e-9..1e-13 — saturated per the skip
+    threshold but NOT yet f32-underflowed, so the skip is observable
+    (exact-zero tail gradients) while the true tail contribution is
+    ~1e-10 (bounded by the threshold)."""
+
+    def _deep_stack(self, n=140):
+        z = jnp.linspace(0.0, 2.0, n)  # camera at -4 -> depths 4..6
+        means = jnp.stack([jnp.zeros(n), jnp.zeros(n), z], axis=1)
+        cov3d = covariance_from_scaling_rotation(
+            jnp.full((n, 3), 2.0), jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1))
+        )
+        colors = jax.random.uniform(jax.random.PRNGKey(31), (n, 3))
+        ops = jnp.full((n,), 0.2)
+        return means, cov3d, colors, ops
+
+    @pytest.mark.parametrize("exact_total", [False, True])
+    def test_saturated_tail_skipped_and_bounded(self, exact_total):
+        cfg = dataclasses.replace(CFG, compositor="tilegrid",
+                                  bwd_exact_total=exact_total)
+        cam = make_camera(width=32, height=32)
+        means, cov3d, colors, ops = self._deep_stack()
+        bg = jnp.array([0.3, 0.2, 0.1])
+
+        a = render(cam, means, cov3d, ops, bg, colors_precomp=colors,
+                   backend="oracle")
+        b = render(cam, means, cov3d, ops, bg, colors_precomp=colors,
+                   backend="pallas", tile_config=cfg)
+        assert int(b.dropped_pairs) == 0
+        np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(b.depth), np.asarray(a.depth),
+                                   atol=3e-3)
+
+        def loss(backend, c):
+            res = render(cam, means, cov3d, ops, bg, colors_precomp=c,
+                         backend=backend, tile_config=cfg)
+            return jnp.mean((res.image - 0.5) ** 2) + 0.1 * jnp.mean(res.depth)
+
+        g_o = jax.grad(lambda c: loss("oracle", c))(colors)
+        g_p = jax.grad(lambda c: loss("pallas", c))(colors)
+        # front layer: full-accuracy gradients
+        np.testing.assert_allclose(np.asarray(g_p[:64]), np.asarray(g_o[:64]),
+                                   atol=2e-5, rtol=1e-3)
+        tail_p = np.asarray(g_p[130:])
+        tail_o = np.asarray(g_o[130:])
+        # the skip engaged: tail grads are EXACT zeros (a full compute would
+        # leave ~1e-10 residue, which f32 still represents)
+        assert (tail_p == 0.0).all(), "chunk-2 grads nonzero: skip never ran"
+        # and it was sound: the oracle's true tail grads are negligible
+        assert np.abs(tail_o).max() < 1e-8
 
 
 class TestCapacityOverflow:
