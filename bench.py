@@ -115,7 +115,8 @@ def _step_bytes_estimate(n, tile_cfg, width, height, d=3):
     return b
 
 
-def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50):
+def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50,
+                         tile_size=16):
     """it/s of the full train step (render fwd+bwd+Adam) at width x height.
     n_warmup_train real steps are applied first (annealing the scene with
     actual training, so the measured distribution is self-generated).
@@ -144,7 +145,8 @@ def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50):
     lr_tree = gaussian_lr_tree(
         model.params, jnp.int32(100), cfg.opt, 1.0, label_lr=0.0
     )
-    tile_cfg = auto_tile_config(model, batch.camera(0), headroom=1.5)
+    tile_cfg = auto_tile_config(model, batch.camera(0), headroom=1.5,
+                                tile_size=tile_size)
     backend = pick_backend(tile_cfg, "auto")
 
     @jax.jit

@@ -49,4 +49,8 @@ echo "=== kernel check done $(date)" >> "$LOG"
 
 run_until_done val_runs/stage_bench_skip.ok \
   bash -c "python scripts/bench_stages_only.py && touch val_runs/stage_bench_skip.ok"
+echo "=== stage re-bench done $(date)" >> "$LOG"
+
+run_until_done val_runs/tile_ab_r3.ok \
+  bash -c "python scripts/tile_ab_r3.py && touch val_runs/tile_ab_r3.ok"
 echo "=== queue_r3c complete $(date)" >> "$LOG"
