@@ -53,4 +53,8 @@ echo "=== stage re-bench done $(date)" >> "$LOG"
 
 run_until_done val_runs/tile_ab_r3.ok \
   bash -c "python scripts/tile_ab_r3.py && touch val_runs/tile_ab_r3.ok"
+echo "=== tile A/B done $(date)" >> "$LOG"
+
+run_until_done val_runs/fineall_skip_ab.ok \
+  bash -c "python scripts/fineall_skip_ab_r3.py && touch val_runs/fineall_skip_ab.ok"
 echo "=== queue_r3c complete $(date)" >> "$LOG"
