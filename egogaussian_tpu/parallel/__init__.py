@@ -3,3 +3,8 @@ from egogaussian_tpu.parallel.data_parallel import (
     data_parallel_train_step,
     make_dp_train_step,
 )
+from egogaussian_tpu.parallel.multi_scene import (
+    multi_scene_static_step,
+    stack_scenes,
+    unstack_scenes,
+)

@@ -26,6 +26,12 @@ from egogaussian_tpu.data.readers import FrameBatch
 from egogaussian_tpu.models.gaussians import GaussianModel
 from egogaussian_tpu.models.optim import adam_update
 from egogaussian_tpu.parallel.data_parallel import _per_frame_loss
+from egogaussian_tpu.train.static import (
+    _apply_probe_stats,
+    _frames_loss_grads,
+    _probe_stats,
+    _static_lr_tree,
+)
 
 
 def stack_scenes(items: Sequence):
@@ -66,6 +72,97 @@ def multi_scene_train_step(
         return dataclasses.replace(model, params=new_params), new_opt, loss
 
     return jax.vmap(one_scene)(models, opt_states, batches, frame_idxs, lr_trees)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "mode", "lambda_dssim", "backend", "tile_config", "opt_cfg",
+        "label_lr",
+    ),
+)
+def multi_scene_static_step(
+    models: GaussianModel,      # scene-stacked: every leaf [S, ...]
+    opt_states,                 # scene-stacked
+    batches: FrameBatch,        # scene-stacked: [S, F, ...]
+    frame_idxs: jnp.ndarray,    # [S, K], K % mesh.shape["data"] == 0
+    grad_masks: jnp.ndarray,    # scene-stacked [S, F, 1, H, W]
+    it: jnp.ndarray,            # scalar, shared schedule position
+    drop_max=None,              # [S] running worst dropped-pair count
+    xyz_lr_mult: jnp.ndarray | None = None,  # [S] per-scene extent factor
+    mesh: Mesh = None,
+    mode: str = "std",
+    lambda_dssim: float = 0.2,
+    backend: str = "tiled",
+    tile_config=None,
+    opt_cfg=None,
+    label_lr: float = 0.0,
+):
+    """The REAL static-stage step (`train.static._static_step` body) for S
+    scenes at once on a (scene, data) mesh — the reference's
+    one-SLURM-job-per-video (train.sh:13-19) as a single pjit program.
+
+    Scene-stacked state is sharded over the `scene` axis (no cross-scene
+    collectives: scenes are independent); each scene's [K] frame batch is
+    additionally sharded over `data`, with parameter grads pmean'd and
+    densify statistics psum/pmax'd inside the scene's mesh row exactly like
+    `_dp_static_step`. Per-scene results match S independent single-device
+    `_static_step` calls to float tolerance (tests/test_multi_scene_real.py).
+
+    Static model fields (capacity, sh_degree, spatial_lr_scale) must be
+    equal across the stack — pad capacities to the max. Differing nerf++
+    extents are expressed via `xyz_lr_mult`: the xyz LR is linear in
+    spatial_lr_scale, so scene i trains exactly as if its
+    spatial_lr_scale were `shared * xyz_lr_mult[i]`.
+    """
+    S = frame_idxs.shape[0]
+    n_data = mesh.shape["data"]
+    assert frame_idxs.shape[1] % n_data == 0, (
+        f"frame batch {frame_idxs.shape[1]} not divisible by data={n_data}"
+    )
+    if drop_max is None:
+        drop_max = jnp.zeros(S, jnp.int32)
+    if xyz_lr_mult is None:
+        xyz_lr_mult = jnp.ones(S, jnp.float32)
+
+    def one_scene(model, opt_state, batch, fidxs_local, gmasks, mult, drop):
+        k_local = fidxs_local.shape[0]
+        lr_tree = _static_lr_tree(model, it, opt_cfg, mode, label_lr)
+        lr_tree = dataclasses.replace(lr_tree, xyz=lr_tree.xyz * mult)
+        bg = jnp.zeros(3, model.params.xyz.dtype)
+        param_g, probe_g, losses, radii, dropped = _frames_loss_grads(
+            model, batch, fidxs_local, gmasks, mode, lambda_dssim,
+            backend, tile_config, bg,
+        )
+        param_g = jax.lax.pmean(param_g, "data")
+        loss = jax.lax.pmean(jnp.mean(losses), "data")
+        gn, den, rmax = _probe_stats(batch, probe_g, radii, k_local)
+        gn = jax.lax.psum(gn, "data")
+        den = jax.lax.psum(den, "data")
+        rmax = jax.lax.pmax(rmax, "data")
+        m = _apply_probe_stats(model, gn, den, rmax)
+        new_params, new_opt = adam_update(m.params, param_g, opt_state, lr_tree)
+        m = dataclasses.replace(m, params=new_params)
+        drop = jnp.maximum(drop, jax.lax.pmax(jnp.max(dropped), "data"))
+        return m, new_opt, loss, radii, drop
+
+    def body(models, opt_states, batches, fidxs, gmasks, mults, drops):
+        # local shard: leading scene axis of size S / mesh.shape["scene"]
+        return jax.vmap(one_scene)(
+            models, opt_states, batches, fidxs, gmasks, mults, drops
+        )
+
+    scene = P("scene")
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(scene, scene, scene, P("scene", "data"), scene, scene,
+                  scene),
+        out_specs=(scene, scene, scene, P("scene", "data"), scene),
+        check_vma=False,
+    )
+    return mapped(models, opt_states, batches, frame_idxs, grad_masks,
+                  xyz_lr_mult, jnp.asarray(drop_max, jnp.int32))
 
 
 def make_multi_scene_step(
