@@ -1,0 +1,414 @@
+"""Multi-scene STAGE DRIVER: the full static-stage training loop for S
+videos in lockstep on a (scene, data) mesh.
+
+The reference parallelizes across videos with one SLURM job per video
+(train.sh:13-19); `parallel/multi_scene.py` provides the per-iteration
+step; this module provides the stage loop around it — frame scheduling,
+densify/prune/opacity-reset cadence, capacity growth, the entropy-end
+prune + label-phase rewind, per-phase model re-init and per-scene artifact
+saving (train_static semantics, trainers/train_static.py:16-207) — so S
+videos' static stages cost one video's wall-clock on an SxD mesh.
+
+Lockstep semantics: every scene shares the schedule (Config), iteration
+counter and capacity; per-scene degrees of freedom are the frame sets,
+RNG streams, nerf++ extents (via the exact xyz_lr_mult factor + traced
+densify extents) and the resulting models. Scenes with different numbers
+of static phases are handled per phase: each phase stacks only the scenes
+that have it (phases re-init from COLMAP points, so stacking is per-phase
+by construction).
+
+Equivalence: with matching seeds the lockstep run reproduces S individual
+`train_static` runs (tests/test_multi_scene_real.py::TestSceneTrainer).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data.readers import stack_cameras
+from egogaussian_tpu.models import adam_init, from_points
+from egogaussian_tpu.models.densify import (
+    densify_and_prune,
+    prune_by_opacity,
+    reset_opacity,
+)
+from egogaussian_tpu.models.gaussians import (
+    GaussianAux,
+    GaussianParams,
+    _empty_params,
+    save_ply,
+)
+from egogaussian_tpu.parallel.multi_scene import (
+    multi_scene_static_step,
+    stack_scenes,
+    unstack_scenes,
+)
+from egogaussian_tpu.train.common import (
+    auto_tile_config,
+    pick_backend,
+    render_label_image,
+)
+from egogaussian_tpu.train.static import (
+    StaticPhaseResult,
+    _label_stack,
+    _log_dropped_pairs,
+    _split_by_is_object,
+)
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+@dataclasses.dataclass
+class SceneInput:
+    """One video's static-stage inputs (the per-scene arguments of
+    train_static)."""
+    cameras: Sequence
+    points: np.ndarray
+    colors: np.ndarray
+    static_phase_frames: List[List[int]]
+    cameras_extent: float
+    save_dir: Optional[str] = None
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# vmapped maintenance ops (densify / reset / prune) over the scene axis.
+# extent is TRACED here (static in the single-scene _densify_jit) so scenes
+# with different nerf++ radii share one compilation.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_grad", "min_opacity", "max_screen_size", "percent_dense",
+    ),
+)
+def _densify_scenes(models, opt_states, keys, extents, *, max_grad,
+                    min_opacity, max_screen_size, percent_dense):
+    def one(m, o, k, e):
+        return densify_and_prune(
+            m, o, k, max_grad=max_grad, min_opacity=min_opacity, extent=e,
+            max_screen_size=max_screen_size, percent_dense=percent_dense,
+        )
+
+    return jax.vmap(one)(models, opt_states, keys, extents)
+
+
+_reset_opacity_scenes = jax.jit(
+    jax.vmap(reset_opacity, in_axes=(0, 0)), static_argnames=()
+)
+_prune_opacity_scenes = jax.jit(
+    lambda ms, os_, min_opacity: jax.vmap(
+        lambda m, o: prune_by_opacity(m, o, min_opacity=min_opacity)
+    )(ms, os_),
+    static_argnames=("min_opacity",),
+)
+
+
+def ensure_capacity_scenes(models, opt_states, min_free: Optional[int] = None):
+    """Stacked twin of models.gaussians.ensure_capacity: grows the SHARED
+    capacity (axis 1 of every [S, C, ...] leaf) when any scene runs low on
+    dead slots. Padding uses the same NaN-safe per-field defaults."""
+    alive = np.asarray(models.aux.alive)  # [S, C]
+    S, C = alive.shape
+    n_max = int(alive.sum(axis=1).max())
+    if min_free is None:
+        min_free = max(C // 8, 256)
+    if C - n_max >= min_free:
+        return models, opt_states, False
+
+    fresh = _empty_params(C, models.sh_degree)  # safe defaults, [C, ...]
+
+    def pad_params(name, x):
+        f = jnp.broadcast_to(
+            getattr(fresh, name)[None], (S,) + getattr(fresh, name).shape
+        )
+        return jnp.concatenate([x, f], axis=1)
+
+    params = GaussianParams(**{
+        f.name: pad_params(f.name, getattr(models.params, f.name))
+        for f in dataclasses.fields(models.params)
+    })
+
+    def pad0(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((S, C) + x.shape[2:], x.dtype)], axis=1
+        )
+
+    aux = GaussianAux(
+        alive=pad0(models.aux.alive),
+        generation=pad0(models.aux.generation),
+        is_object=pad0(models.aux.is_object),
+        max_radii2d=pad0(models.aux.max_radii2d),
+        xyz_gradient_accum=pad0(models.aux.xyz_gradient_accum),
+        denom=pad0(models.aux.denom),
+    )
+    new_models = dataclasses.replace(models, params=params, aux=aux)
+    new_opts = dataclasses.replace(
+        opt_states,
+        mu=jax.tree_util.tree_map(pad0, opt_states.mu),
+        nu=jax.tree_util.tree_map(pad0, opt_states.nu),
+    )
+    return new_models, new_opts, True
+
+
+def _pad_batch(batch, f_max: int):
+    """Pad a FrameBatch to f_max frames by repeating frame 0 (padded
+    indices are never sampled — per-scene frame stacks hold real indices
+    only)."""
+    f = batch.num_frames
+    if f == f_max:
+        return batch
+
+    def pad(x):
+        if not hasattr(x, "shape") or x.ndim == 0 or x.shape[0] != f:
+            return x
+        reps = jnp.repeat(x[:1], f_max - f, axis=0)
+        return jnp.concatenate([x, reps], axis=0)
+
+    return jax.tree_util.tree_map(pad, batch)
+
+
+def train_static_scenes(
+    scene_inputs: Sequence[SceneInput],
+    cfg: Config,
+    mesh,
+    backend: str = "auto",
+    first_phase_only: bool = True,
+) -> List[List[StaticPhaseResult]]:
+    """Stage 1.0 for S scenes in lockstep on `mesh` (axes scene, data; the
+    scene axis size must divide S). Returns per-scene lists of
+    StaticPhaseResult (train_static twin).
+
+    Notes vs the single-scene driver:
+      * the frame batch per scene is max(frame_batch, n_data) — one frame
+        per data-axis device minimum;
+      * random_background is not supported (assert);
+      * mid-stage checkpointing is per-phase-restart granularity (the
+        single-scene driver checkpoints every N iterations).
+    """
+    assert not cfg.opt.random_background, (
+        "train_static_scenes: random_background unsupported"
+    )
+    S = len(scene_inputs)
+    sp = cfg.static
+    opt_cfg = cfg.opt
+    total_iters = sp.std_train_iter + sp.entropy_reg_iter + sp.label_train_iter
+    n_data = mesh.shape["data"]
+    fb = max(sp.frame_batch, 1)
+    if fb % n_data:
+        fb = ((fb + n_data - 1) // n_data) * n_data
+
+    n_phases_max = max(len(s.static_phase_frames) for s in scene_inputs)
+    if first_phase_only:
+        n_phases_max = 1
+    results: List[List[StaticPhaseResult]] = [[] for _ in scene_inputs]
+
+    for phase in range(n_phases_max):
+        active = [i for i, s in enumerate(scene_inputs)
+                  if phase < len(s.static_phase_frames)]
+        if len(active) % mesh.shape["scene"]:
+            raise ValueError(
+                f"phase {phase}: {len(active)} active scenes not divisible "
+                f"by scene axis {mesh.shape['scene']} — pad the scene list"
+            )
+        rngs = {i: np.random.RandomState(scene_inputs[i].seed)
+                for i in active}
+        keys = {i: jax.random.PRNGKey(scene_inputs[i].seed + phase)
+                for i in active}
+
+        # per-scene phase camera stacks, padded to a shared frame count
+        per_scene = []
+        for i in active:
+            s = scene_inputs[i]
+            idxs = s.static_phase_frames[phase]
+            cams = [s.cameras[j] for j in idxs]
+            per_scene.append((i, cams, stack_cameras(cams)))
+        f_max = max(b.num_frames for _, _, b in per_scene)
+        batches = stack_scenes([_pad_batch(b, f_max) for _, _, b in per_scene])
+        gmasks = stack_scenes([
+            _pad_batch(b, f_max).hand_masks for _, _, b in per_scene
+        ])
+
+        # shared capacity: every scene's init model padded to the max
+        models_l, caps = [], []
+        for i in active:
+            s = scene_inputs[i]
+            m = from_points(
+                s.points, s.colors, sh_degree=cfg.model.sh_degree,
+                spatial_lr_scale=1.0, seed=s.seed,
+            )
+            models_l.append(m)
+            caps.append(m.capacity)
+        cap = max(caps)
+        from egogaussian_tpu.models.gaussians import ensure_capacity
+
+        grown = []
+        for m in models_l:
+            o = adam_init(m.params)
+            while m.capacity < cap:
+                m, o, _ = ensure_capacity(m, o, min_free=m.capacity + 1)
+            grown.append((m, o))
+        models = stack_scenes([m for m, _ in grown])
+        opts = stack_scenes([o for _, o in grown])
+        extents = jnp.asarray(
+            [scene_inputs[i].cameras_extent for i in active], jnp.float32
+        )
+
+        # shared binning capacities: sized for the busiest scene
+        tile_cfg = max(
+            (auto_tile_config(m, b.camera(0))
+             for (m, _), (_, _, b) in zip(grown, per_scene)),
+            key=lambda t: t.max_pairs,
+        )
+        backend_r = pick_backend(tile_cfg, backend)
+
+        stacks = {i: list(range(len(cams))) for i, cams, _ in per_scene}
+        mask_valid = {
+            i: np.asarray(b.obj_mask_valid) for i, _, b in per_scene
+        }
+        CONSOLE.log(
+            f"[static-scenes] phase {phase}: {len(active)} scenes x "
+            f"{f_max} frames, {total_iters} iters, capacity {cap}, "
+            f"frame batch {fb}"
+        )
+
+        drop = jnp.zeros(len(active), jnp.int32)
+        last_drop = 0
+        for it in range(1, total_iters + 1):
+            fidxs = np.stack([
+                np.array([stacks[i][j] for j in
+                          rngs[i].randint(len(stacks[i]), size=fb)], np.int32)
+                for i in active
+            ])
+            if it <= sp.std_train_iter:
+                mode = "std"
+            elif it <= sp.std_train_iter + sp.entropy_reg_iter:
+                mode = "entropy"
+            else:
+                mode = "label"
+
+            models, opts, loss, radii, drop = multi_scene_static_step(
+                models, opts, batches, jnp.asarray(fidxs), gmasks,
+                jnp.int32(it), drop, xyz_lr_mult=extents, mesh=mesh,
+                mode=mode, lambda_dssim=opt_cfg.lambda_dssim,
+                backend=backend_r, tile_config=tile_cfg, opt_cfg=opt_cfg,
+                label_lr=sp.label_lr,
+            )
+
+            if it % opt_cfg.densification_interval == 0:
+                worst = int(jnp.max(drop))
+                if worst > last_drop:
+                    # drop-triggered regrowth of the SHARED binning
+                    # capacities: merge each scene's re-estimate (merge only
+                    # grows, so chaining configs through the scenes is the
+                    # max over scenes)
+                    from egogaussian_tpu.train.common import (
+                        maybe_regrow_tile_config,
+                    )
+                    ms = unstack_scenes(models, len(active))
+                    merged = tile_cfg
+                    for m, (_, _, b) in zip(ms, per_scene):
+                        c2, _, ch = maybe_regrow_tile_config(
+                            m, b.camera(0), merged, worst, last_drop,
+                            "static-scenes",
+                        )
+                        if ch:
+                            merged = c2
+                    if merged != tile_cfg:
+                        tile_cfg = merged
+                        drop = jnp.zeros_like(drop)
+                        last_drop = 0
+                    else:
+                        last_drop = worst
+
+            if it <= sp.densify_until_iter:
+                if (it > sp.densify_from_iter
+                        and it % opt_cfg.densification_interval == 0):
+                    size_threshold = (
+                        20.0 if it > opt_cfg.opacity_reset_interval else None
+                    )
+                    subs = []
+                    for i in active:
+                        keys[i], sub = jax.random.split(keys[i])
+                        subs.append(sub)
+                    res = _densify_scenes(
+                        models, opts, jnp.stack(subs), extents,
+                        max_grad=opt_cfg.densify_grad_threshold,
+                        min_opacity=0.005,
+                        max_screen_size=size_threshold,
+                        percent_dense=opt_cfg.percent_dense,
+                    )
+                    models, opts = res.model, res.opt_state
+                    overflow = np.asarray(res.overflow)
+                    if overflow.any():
+                        CONSOLE.log(
+                            f"[static-scenes] it {it}: densify overflow "
+                            f"{overflow.tolist()} (capacity grows next "
+                            "interval)"
+                        )
+                    models, opts, grew = ensure_capacity_scenes(models, opts)
+                    if grew:
+                        ms = unstack_scenes(models, len(active))
+                        tile_cfg = max(
+                            (auto_tile_config(m, b.camera(0))
+                             for m, (_, _, b) in zip(ms, per_scene)),
+                            key=lambda t: t.max_pairs,
+                        )
+                if it % opt_cfg.opacity_reset_interval == 0:
+                    models, opts = _reset_opacity_scenes(models, opts)
+
+            if it == sp.std_train_iter + sp.entropy_reg_iter:
+                models, opts, n_pruned = _prune_opacity_scenes(
+                    models, opts, min_opacity=0.5
+                )
+                CONSOLE.log(
+                    f"[static-scenes] pruned "
+                    f"{np.asarray(n_pruned).tolist()} low-opacity"
+                )
+                for i in active:
+                    s = scene_inputs[i]
+                    stacks[i] = _label_stack(
+                        stacks[i], phase, len(s.static_phase_frames),
+                        sp.rewind_frames, mask_valid[i],
+                    )
+
+        _log_dropped_pairs("static-scenes", phase, int(jnp.max(drop)))
+
+        # per-scene post-phase: segmentation split, predicted masks, saves
+        for k, (i, cams, b) in enumerate(per_scene):
+            s = scene_inputs[i]
+            model = unstack_scenes(models, len(active))[k]
+            model = dataclasses.replace(
+                model, spatial_lr_scale=float(s.cameras_extent)
+            )
+            model = model.infer_is_object_from_label()
+            obj_model, bg_model = _split_by_is_object(model)
+            pred_masks: Dict[str, np.ndarray] = {}
+            for j, cam_obj in enumerate(cams):
+                lbl = render_label_image(
+                    model, b.camera(j), backend=backend_r,
+                    tile_config=tile_cfg,
+                )
+                pred_masks[cam_obj.image_name] = (
+                    np.asarray(lbl[0]) > 0.5
+                ).astype(np.float32)
+            if s.save_dir:
+                ply_dir = os.path.join(s.save_dir, "ply")
+                save_ply(model, os.path.join(
+                    ply_dir, f"static_phase{phase}.ply"))
+                save_ply(obj_model, os.path.join(
+                    ply_dir, f"static_phase{phase}_obj.ply"))
+                save_ply(bg_model, os.path.join(
+                    ply_dir, f"static_phase{phase}_bg.ply"))
+            results[i].append(StaticPhaseResult(
+                model=model, obj_model=obj_model, bg_model=bg_model,
+                pred_masks=pred_masks,
+            ))
+    return results

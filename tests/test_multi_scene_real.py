@@ -102,6 +102,82 @@ class TestMultiSceneStaticStep:
                 np.asarray(out_models[i].aux.max_radii2d),
                 np.asarray(m1.aux.max_radii2d), atol=0)
 
+    def test_stage_driver_matches_train_static(self):
+        """train_static_scenes (lockstep loop: step + densify + opacity
+        reset + entropy-end prune + label rewind) reproduces per-scene
+        train_static runs with matching seeds."""
+        import dataclasses as dc
+
+        from egogaussian_tpu.parallel.scene_trainer import (
+            SceneInput, train_static_scenes,
+        )
+        from egogaussian_tpu.train.static import train_static
+
+        cfg = Config()
+        cfg = dc.replace(
+            cfg,
+            static=dc.replace(
+                cfg.static, std_train_iter=6, entropy_reg_iter=3,
+                label_train_iter=3, densify_from_iter=1,
+                densify_until_iter=8, rewind_frames=2, frame_batch=4,
+            ),
+            opt=dc.replace(
+                cfg.opt, densification_interval=2, opacity_reset_interval=5,
+            ),
+        )
+
+        vids = [
+            make_synthetic_video(width=32, height=24, n_bg=40, n_obj=12,
+                                 frames_static=3, frames_dynamic=2, seed=s)
+            for s in (0, 3)
+        ]
+        phase0 = [list(range(3)), list(range(3))]
+        extents = [1.0, 1.4]
+
+        singles = []
+        for vid, ph0, ext, seed in zip(vids, phase0, extents, (0, 3)):
+            res = train_static(
+                vid.cameras, vid.points, vid.colors, cfg, [ph0], ext,
+                seed=seed, backend="tiled", first_phase_only=True,
+            )
+            singles.append(res[0])
+
+        mesh = make_mesh(n_scene=2, n_data=4)
+        inputs = [
+            SceneInput(
+                cameras=vid.cameras, points=vid.points, colors=vid.colors,
+                static_phase_frames=[ph0], cameras_extent=ext, seed=seed,
+            )
+            for vid, ph0, ext, seed in zip(vids, phase0, extents, (0, 3))
+        ]
+        multi = train_static_scenes(inputs, cfg, mesh, backend="tiled")
+
+        for i in range(2):
+            ref, got = singles[i], multi[i][0]
+            n_ref = int(ref.model.num_alive)
+            n_got = int(got.model.num_alive)
+            assert n_ref == n_got, f"scene{i}: alive {n_got} != {n_ref}"
+            # compare alive rows only (shared capacity pads the stack)
+            a_ref = np.asarray(ref.model.aux.alive)
+            a_got = np.asarray(got.model.aux.alive)
+            for name in MODEL_FIELDS:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(got.model.params, name))[a_got],
+                    np.asarray(getattr(ref.model.params, name))[a_ref],
+                    atol=1e-4, err_msg=f"scene{i}.{name}",
+                )
+            np.testing.assert_array_equal(
+                np.asarray(got.model.aux.is_object)[a_got],
+                np.asarray(ref.model.aux.is_object)[a_ref],
+                err_msg=f"scene{i}.is_object",
+            )
+            assert set(got.pred_masks) == set(ref.pred_masks)
+            for k in got.pred_masks:
+                np.testing.assert_array_equal(
+                    got.pred_masks[k], ref.pred_masks[k],
+                    err_msg=f"scene{i} mask {k}",
+                )
+
     def test_per_scene_xyz_lr_mult(self):
         """Scenes with different nerf++ extents share one stacked model
         whose static spatial_lr_scale must be equal; the per-scene traced
