@@ -1,0 +1,195 @@
+"""Multi-video training CLI: several datasets in ONE process on a
+(scene, data) mesh.
+
+The reference trains V videos as V SLURM jobs on V GPUs (train.sh:13-19);
+here the shared stages run scene-parallel in-process:
+
+  stage 1.0 static     -> train_static_scenes (lockstep over the scene axis)
+  stage 1.1 masks      -> per-scene completion + completeness assert
+  stage 1.2 background -> train_background_scenes
+  stages 2-6           -> per-scene run_pipeline(resume=True): it finds the
+                          stage-1 artifacts on disk and continues coarse ->
+                          fine -> interpolate -> fine_all -> eval. (The
+                          coarse stage is sequential per scene by nature —
+                          each frame's pose chains off the previous — so
+                          cross-video parallelism there needs the scene
+                          axis inside coarse_step; stages 2+ run per
+                          scene for now.)
+
+Usage:
+  python -m egogaussian_tpu.cli.train_multi \
+      --videos ds1 ds2 --outputs out1 out2 --mesh 2x4 [--stage1_only]
+
+`--mesh SxD`: S-way scene axis x D-way frame-data axis (needs S*D
+devices). Every dataset follows the reference layout (split/*.txt etc.);
+all config flags of cli.train apply (shared schedule across videos).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from argparse import ArgumentParser
+
+from egogaussian_tpu.config import add_config_args, extract_config, save_config
+from egogaussian_tpu.data.readers import (
+    load_colmap_scene,
+    read_phase_index,
+    read_split_file,
+    split_viewpoints_by_phase,
+)
+from egogaussian_tpu.utils.console import CONSOLE
+
+
+def main(argv=None):
+    parser = ArgumentParser(
+        description="EgoGaussian-TPU multi-video training (scene x data mesh)"
+    )
+    add_config_args(parser)
+    parser.add_argument("--videos", nargs="+", required=True,
+                        metavar="DATASET_DIR")
+    parser.add_argument("--outputs", nargs="*", default=[],
+                        metavar="OUTPUT_DIR",
+                        help="default: <dataset>/output per video")
+    parser.add_argument("--mesh", default="1x1", metavar="SxD",
+                        help="scene x data mesh, e.g. 2x4 (needs S*D devices)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--stage1_only", action="store_true",
+                        help="stop after the scene-parallel stages 1.0-1.2")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--checkpoint_every", type=int, default=0)
+    args = parser.parse_args(argv)
+    cfg = extract_config(args)
+    backend = cfg.render.backend
+
+    srcs = [os.path.abspath(s) for s in args.videos]
+    outs = [os.path.abspath(o) for o in args.outputs] or [
+        os.path.join(s, "output") for s in srcs
+    ]
+    if len(outs) != len(srcs):
+        parser.error(f"{len(srcs)} videos but {len(outs)} outputs")
+
+    import jax
+
+    from egogaussian_tpu.parallel import make_mesh
+    from egogaussian_tpu.parallel.scene_trainer import (
+        SceneInput,
+        train_background_scenes,
+        train_static_scenes,
+    )
+
+    n_scene, n_data = (int(x) for x in args.mesh.lower().split("x"))
+    devices = jax.devices()
+    if len(devices) < n_scene * n_data:
+        parser.error(
+            f"--mesh {args.mesh} needs {n_scene * n_data} devices, "
+            f"{len(devices)} visible (virtual CPU mesh: "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
+    mesh = make_mesh(n_scene=n_scene, n_data=n_data,
+                     devices=devices[: n_scene * n_data])
+    CONSOLE.print(f"Mesh {mesh}: {len(srcs)} videos")
+
+    scenes, splits, static_groups_all, inputs = [], [], [], []
+    for i, src in enumerate(srcs):
+        split_dir = os.path.join(src, "split")
+        training = read_split_file(
+            os.path.join(split_dir, "training_frames.txt"))
+        dyn_eval = read_split_file(
+            os.path.join(split_dir, "dynamic_eval_frames.txt"))
+        st_eval = read_split_file(
+            os.path.join(split_dir, "static_eval_frames.txt"))
+        st_ph, dy_ph = read_phase_index(
+            os.path.join(split_dir, "phase_frame_index.txt"))
+        CONSOLE.print(f"Loading COLMAP scene from {src}")
+        scene = load_colmap_scene(src, cfg.model.images, cfg.model.resolution)
+        scenes.append(scene)
+        splits.append((training, dyn_eval, st_eval, st_ph, dy_ph))
+
+        os.makedirs(outs[i], exist_ok=True)
+        cfg_i = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, source_path=src, model_path=outs[i])
+        )
+        save_config(cfg_i, os.path.join(outs[i], "cfg_args.json"))
+        static_groups = split_viewpoints_by_phase(
+            scene.cameras, st_ph, training)
+        static_groups_all.append(static_groups)
+        inputs.append(SceneInput(
+            cameras=scene.cameras, points=scene.points, colors=scene.colors,
+            static_phase_frames=static_groups,
+            cameras_extent=scene.cameras_extent,
+            save_dir=os.path.join(outs[i], "static"), seed=args.seed + i,
+        ))
+
+    # ---- stage 1.0: static phases, scene-parallel ----
+    static_done = args.resume and all(
+        os.path.exists(os.path.join(
+            o, "static", "ply", "static_phase0_obj.ply")) for o in outs
+    )
+    results = None
+    if static_done:
+        CONSOLE.log("[multi] resume: static artifacts found for all scenes")
+    else:
+        results = train_static_scenes(
+            inputs, cfg, mesh, backend=backend, first_phase_only=False,
+        )
+
+    # ---- stage 1.1 + 1.2: mask completion + background, scene-parallel ----
+    from egogaussian_tpu.pipeline import _load_pred_masks, apply_predicted_masks
+
+    bg_inputs, bg_frames = [], []
+    for i, scene in enumerate(scenes):
+        pred = _load_pred_masks(os.path.join(outs[i], "static", "obj_masks"))
+        if results is not None:
+            for r in results[i]:
+                pred.update(r.pred_masks)
+        cams = apply_predicted_masks(scene.cameras, pred)
+        scenes[i] = dataclasses.replace(scene, cameras=cams)
+        training, _, _, st_ph, dy_ph = splits[i]
+        dynamic_groups = split_viewpoints_by_phase(cams, dy_ph, training)
+        all_train = sorted({
+            j for g in static_groups_all[i] + dynamic_groups for j in g
+        })
+        bg_frames.append(all_train)
+        bg_inputs.append(SceneInput(
+            cameras=cams, points=scene.points, colors=scene.colors,
+            static_phase_frames=static_groups_all[i],
+            cameras_extent=scene.cameras_extent,
+            save_dir=os.path.join(outs[i], "background"),
+            seed=args.seed + i,
+        ))
+
+    bg_done = args.resume and all(
+        os.path.exists(os.path.join(o, "background", "static_bg.ply"))
+        for o in outs
+    )
+    if bg_done:
+        CONSOLE.log("[multi] resume: background artifacts found")
+    else:
+        train_background_scenes(
+            bg_inputs, cfg, mesh, bg_frames, backend=backend,
+        )
+
+    if args.stage1_only:
+        CONSOLE.print("[multi] stage 1 complete (--stage1_only)")
+        return 0
+
+    # ---- stages 2-6: per scene via the resumable pipeline ----
+    from egogaussian_tpu.pipeline import run_pipeline
+
+    for i, scene in enumerate(scenes):
+        training, dyn_eval, st_eval, st_ph, dy_ph = splits[i]
+        CONSOLE.print(f"[multi] stages 2-6 for video {srcs[i]}")
+        run_pipeline(
+            scene, cfg, outs[i],
+            training_frames=training, dynamic_eval_frames=dyn_eval,
+            static_eval_frames=st_eval, static_phases=st_ph,
+            dynamic_phases=dy_ph, seed=args.seed + i,
+            backend=backend, resume=True,
+            checkpoint_every=args.checkpoint_every,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -8,3 +8,8 @@ from egogaussian_tpu.parallel.multi_scene import (
     stack_scenes,
     unstack_scenes,
 )
+from egogaussian_tpu.parallel.scene_trainer import (
+    SceneInput,
+    train_background_scenes,
+    train_static_scenes,
+)

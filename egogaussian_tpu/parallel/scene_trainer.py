@@ -175,6 +175,182 @@ def _pad_batch(batch, f_max: int):
     return jax.tree_util.tree_map(pad, batch)
 
 
+def train_background_scenes(
+    scene_inputs: Sequence[SceneInput],
+    cfg: Config,
+    mesh,
+    train_frame_idxs: Sequence[List[int]],
+    backend: str = "auto",
+    dilate_size: int = 5,
+):
+    """Stage 1.2 for S scenes in lockstep (train_background twin,
+    trainers/train_static_bg.py:23-173): interaction mask =
+    dilate(hand | obj), std + entropy schedule, final 0.5-opacity prune.
+    Returns the per-scene background models."""
+    assert not cfg.opt.random_background
+    from egogaussian_tpu.data.readers import dilate_mask
+    from egogaussian_tpu.models.gaussians import ensure_capacity
+
+    S = len(scene_inputs)
+    bp = cfg.static_bg
+    opt_cfg = cfg.opt
+    total_iters = bp.std_train_iter + bp.entropy_reg_iter
+    n_data = mesh.shape["data"]
+    fb = max(bp.frame_batch, 1)
+    if fb % n_data:
+        fb = ((fb + n_data - 1) // n_data) * n_data
+    if S % mesh.shape["scene"]:
+        raise ValueError(
+            f"{S} scenes not divisible by scene axis {mesh.shape['scene']}"
+        )
+
+    rngs = [np.random.RandomState(s.seed) for s in scene_inputs]
+    keys = [jax.random.PRNGKey(s.seed) for s in scene_inputs]
+
+    per_scene = []
+    for s in scene_inputs:
+        cams = [s.cameras[j] for j in train_frame_idxs[len(per_scene)]]
+        b = stack_cameras(cams)
+        int_masks = np.stack([
+            dilate_mask(
+                np.maximum(np.asarray(c.hand_mask), np.asarray(c.obj_mask)),
+                iterations=dilate_size,
+            )
+            for c in cams
+        ]).astype(np.uint8)
+        per_scene.append((cams, b, int_masks))
+    f_max = max(b.num_frames for _, b, _ in per_scene)
+    batches = stack_scenes([_pad_batch(b, f_max) for _, b, _ in per_scene])
+    gmasks = stack_scenes([
+        jnp.asarray(np.concatenate(
+            [m, np.repeat(m[:1], f_max - m.shape[0], axis=0)]
+        ) if m.shape[0] < f_max else m)
+        for _, _, m in per_scene
+    ])
+
+    grown = []
+    cap = 0
+    for s in scene_inputs:
+        m = from_points(
+            s.points, s.colors, sh_degree=cfg.model.sh_degree,
+            spatial_lr_scale=1.0, seed=s.seed,
+        )
+        cap = max(cap, m.capacity)
+        grown.append(m)
+    models_l = []
+    for m in grown:
+        o = adam_init(m.params)
+        while m.capacity < cap:
+            m, o, _ = ensure_capacity(m, o, min_free=m.capacity + 1)
+        models_l.append((m, o))
+    models = stack_scenes([m for m, _ in models_l])
+    opts = stack_scenes([o for _, o in models_l])
+    extents = jnp.asarray(
+        [s.cameras_extent for s in scene_inputs], jnp.float32
+    )
+    tile_cfg = max(
+        (auto_tile_config(m, b.camera(0))
+         for (m, _), (_, b, _) in zip(models_l, per_scene)),
+        key=lambda t: t.max_pairs,
+    )
+    backend_r = pick_backend(tile_cfg, backend)
+    CONSOLE.log(
+        f"[bg-scenes] {S} scenes x {f_max} frames, {total_iters} iters, "
+        f"capacity {cap}, frame batch {fb}"
+    )
+
+    drop = jnp.zeros(S, jnp.int32)
+    last_drop = 0
+    for it in range(1, total_iters + 1):
+        fidxs = np.stack([
+            rngs[i].randint(per_scene[i][1].num_frames, size=fb)
+            .astype(np.int32)
+            for i in range(S)
+        ])
+        mode = "std" if it <= bp.std_train_iter else "entropy"
+        models, opts, loss, radii, drop = multi_scene_static_step(
+            models, opts, batches, jnp.asarray(fidxs), gmasks,
+            jnp.int32(it), drop, xyz_lr_mult=extents, mesh=mesh, mode=mode,
+            lambda_dssim=opt_cfg.lambda_dssim, backend=backend_r,
+            tile_config=tile_cfg, opt_cfg=opt_cfg,
+        )
+        if it % opt_cfg.densification_interval == 0:
+            worst = int(jnp.max(drop))
+            if worst > last_drop:
+                from egogaussian_tpu.train.common import (
+                    maybe_regrow_tile_config,
+                )
+                ms = unstack_scenes(models, S)
+                merged = tile_cfg
+                for m, (_, b, _) in zip(ms, per_scene):
+                    c2, _, ch = maybe_regrow_tile_config(
+                        m, b.camera(0), merged, worst, last_drop,
+                        "bg-scenes",
+                    )
+                    if ch:
+                        merged = c2
+                if merged != tile_cfg:
+                    tile_cfg = merged
+                    drop = jnp.zeros_like(drop)
+                    last_drop = 0
+                else:
+                    last_drop = worst
+        if it <= bp.densify_until_iter:
+            if (it > bp.densify_from_iter
+                    and it % opt_cfg.densification_interval == 0):
+                size_threshold = (
+                    20.0 if it > opt_cfg.opacity_reset_interval else None
+                )
+                subs = []
+                for i in range(S):
+                    keys[i], sub = jax.random.split(keys[i])
+                    subs.append(sub)
+                res = _densify_scenes(
+                    models, opts, jnp.stack(subs), extents,
+                    max_grad=opt_cfg.densify_grad_threshold,
+                    min_opacity=0.005,
+                    max_screen_size=size_threshold,
+                    percent_dense=opt_cfg.percent_dense,
+                )
+                models, opts = res.model, res.opt_state
+                overflow = np.asarray(res.overflow)
+                if overflow.any():
+                    CONSOLE.log(
+                        f"[bg-scenes] it {it}: densify overflow "
+                        f"{overflow.tolist()}"
+                    )
+                models, opts, grew = ensure_capacity_scenes(models, opts)
+                if grew:
+                    ms = unstack_scenes(models, S)
+                    tile_cfg = max(
+                        (auto_tile_config(m, b.camera(0))
+                         for m, (_, b, _) in zip(ms, per_scene)),
+                        key=lambda t: t.max_pairs,
+                    )
+            if it % opt_cfg.opacity_reset_interval == 0:
+                models, opts = _reset_opacity_scenes(models, opts)
+        if it == total_iters:
+            models, opts, n_pruned = _prune_opacity_scenes(
+                models, opts, min_opacity=0.5
+            )
+            CONSOLE.log(
+                f"[bg-scenes] final prune: "
+                f"{np.asarray(n_pruned).tolist()} removed"
+            )
+
+    _log_dropped_pairs("bg-scenes", None, int(jnp.max(drop)))
+    out = []
+    for i, m in enumerate(unstack_scenes(models, S)):
+        m = dataclasses.replace(
+            m, spatial_lr_scale=float(scene_inputs[i].cameras_extent)
+        )
+        if scene_inputs[i].save_dir:
+            save_ply(m, os.path.join(
+                scene_inputs[i].save_dir, "static_bg.ply"))
+        out.append(m)
+    return out
+
+
 def train_static_scenes(
     scene_inputs: Sequence[SceneInput],
     cfg: Config,
@@ -407,6 +583,19 @@ def train_static_scenes(
                     ply_dir, f"static_phase{phase}_obj.ply"))
                 save_ply(bg_model, os.path.join(
                     ply_dir, f"static_phase{phase}_bg.ply"))
+                # predicted-mask PNGs: pipeline resume + stage 1.1 read
+                # these (same layout as the single-scene driver)
+                mask_dir = os.path.join(s.save_dir, "obj_masks")
+                os.makedirs(mask_dir, exist_ok=True)
+                try:
+                    from PIL import Image
+
+                    for name, msk in pred_masks.items():
+                        Image.fromarray(
+                            (msk * 255).astype(np.uint8)
+                        ).save(os.path.join(mask_dir, f"{name}.png"))
+                except ImportError:
+                    pass
             results[i].append(StaticPhaseResult(
                 model=model, obj_model=obj_model, bg_model=bg_model,
                 pred_masks=pred_masks,

@@ -1,0 +1,62 @@
+"""End-to-end smoke of the multi-video CLI (cli/train_multi.py): two tiny
+synthetic datasets in the reference layout, scene-parallel stages 1.0-1.2
+on the 8-device virtual mesh, artifact layout identical to the single-video
+pipeline so run_pipeline(resume=True) can continue stages 2-6."""
+import dataclasses as dc
+import os
+
+import pytest
+
+from egogaussian_tpu.config import Config
+from egogaussian_tpu.data.export_colmap import export_colmap_dataset
+from egogaussian_tpu.data.synthetic import make_synthetic_video
+
+
+@pytest.mark.slow
+def test_train_multi_stage1(tmp_path):
+    datasets, outputs = [], []
+    for s in (0, 3):
+        vid = make_synthetic_video(width=32, height=24, n_bg=40, n_obj=12,
+                                   frames_static=3, frames_dynamic=2, seed=s)
+        ds = tmp_path / f"video{s}"
+        export_colmap_dataset(vid, str(ds))
+        datasets.append(str(ds))
+        outputs.append(str(tmp_path / f"out{s}"))
+
+    from egogaussian_tpu.cli.train_multi import main
+
+    rc = main([
+        "--videos", *datasets, "--outputs", *outputs, "--mesh", "2x4",
+        "--stage1_only", "--backend", "tiled",
+        "--densification_interval", "2", "--opacity_reset_interval", "5",
+        "--s_std_train_iter", "6", "--s_entropy_reg_iter", "3",
+        "--s_label_train_iter", "3", "--s_densify_until_iter", "8",
+        "--s_rewind_frames", "2",
+        "--b_std_train_iter", "6", "--b_entropy_reg_iter", "3",
+        "--b_densify_until_iter", "6",
+        "--s_frame_batch", "4", "--b_frame_batch", "4",
+    ])
+    assert rc == 0
+    for out in outputs:
+        assert os.path.exists(
+            os.path.join(out, "static", "ply", "static_phase0_obj.ply"))
+        assert os.path.exists(
+            os.path.join(out, "static", "ply", "static_phase1.ply"))
+        assert os.path.isdir(os.path.join(out, "static", "obj_masks"))
+        assert os.path.exists(
+            os.path.join(out, "background", "static_bg.ply"))
+        assert os.path.exists(os.path.join(out, "cfg_args.json"))
+
+    # resume: a second stage1-only run must skip both stages (no retrain)
+    import time
+
+    t0 = time.time()
+    rc = main([
+        "--videos", *datasets, "--outputs", *outputs, "--mesh", "2x4",
+        "--stage1_only", "--resume", "--backend", "tiled",
+        "--s_std_train_iter", "6", "--s_entropy_reg_iter", "3",
+        "--s_label_train_iter", "3",
+        "--b_std_train_iter", "6", "--b_entropy_reg_iter", "3",
+    ])
+    assert rc == 0
+    assert time.time() - t0 < 60, "resume must not retrain"
