@@ -102,6 +102,7 @@ class TestMultiSceneStaticStep:
                 np.asarray(out_models[i].aux.max_radii2d),
                 np.asarray(m1.aux.max_radii2d), atol=0)
 
+    @pytest.mark.slow
     def test_stage_driver_matches_train_static(self):
         """train_static_scenes (lockstep loop: step + densify + opacity
         reset + entropy-end prune + label rewind) reproduces per-scene
@@ -176,6 +177,69 @@ class TestMultiSceneStaticStep:
                 np.testing.assert_array_equal(
                     got.pred_masks[k], ref.pred_masks[k],
                     err_msg=f"scene{i} mask {k}",
+                )
+
+    @pytest.mark.slow
+    def test_bg_driver_matches_train_background(self):
+        """train_background_scenes reproduces per-scene train_background
+        (dilated interaction masks, std+entropy, final 0.5 prune)."""
+        import dataclasses as dc
+
+        from egogaussian_tpu.parallel.scene_trainer import (
+            SceneInput, train_background_scenes,
+        )
+        from egogaussian_tpu.train.static import train_background
+
+        cfg = Config()
+        cfg = dc.replace(
+            cfg,
+            static_bg=dc.replace(
+                cfg.static_bg, std_train_iter=6, entropy_reg_iter=3,
+                densify_from_iter=1, densify_until_iter=6, frame_batch=4,
+            ),
+            opt=dc.replace(
+                cfg.opt, densification_interval=2, opacity_reset_interval=5,
+            ),
+        )
+        vids = [
+            make_synthetic_video(width=32, height=24, n_bg=40, n_obj=12,
+                                 frames_static=3, frames_dynamic=2, seed=s)
+            for s in (0, 3)
+        ]
+        frames = [list(range(6)), list(range(8))]
+        extents = [1.0, 1.4]
+
+        singles = [
+            train_background(
+                vid.cameras, vid.points, vid.colors, cfg, fr, ext,
+                seed=seed, backend="tiled",
+            )
+            for vid, fr, ext, seed in zip(vids, frames, extents, (0, 3))
+        ]
+
+        mesh = make_mesh(n_scene=2, n_data=4)
+        inputs = [
+            SceneInput(
+                cameras=vid.cameras, points=vid.points, colors=vid.colors,
+                static_phase_frames=[], cameras_extent=ext, seed=seed,
+            )
+            for vid, ext, seed in zip(vids, extents, (0, 3))
+        ]
+        multi = train_background_scenes(
+            inputs, cfg, mesh, frames, backend="tiled"
+        )
+        for i in range(2):
+            ref, got = singles[i], multi[i]
+            assert int(ref.num_alive) == int(got.num_alive), (
+                f"scene{i}: {int(got.num_alive)} != {int(ref.num_alive)}"
+            )
+            a_ref = np.asarray(ref.aux.alive)
+            a_got = np.asarray(got.aux.alive)
+            for name in MODEL_FIELDS:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(got.params, name))[a_got],
+                    np.asarray(getattr(ref.params, name))[a_ref],
+                    atol=1e-4, err_msg=f"scene{i}.{name}",
                 )
 
     def test_per_scene_xyz_lr_mult(self):
