@@ -4,6 +4,7 @@ from egogaussian_tpu.parallel.data_parallel import (
     make_dp_train_step,
 )
 from egogaussian_tpu.parallel.multi_scene import (
+    multi_scene_coarse_step,
     multi_scene_static_step,
     stack_scenes,
     unstack_scenes,

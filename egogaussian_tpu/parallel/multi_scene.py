@@ -165,6 +165,98 @@ def multi_scene_static_step(
                   xyz_lr_mult, jnp.asarray(drop_max, jnp.int32))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grad_params", "mesh", "opt_cfg", "coarse_cfg", "backend",
+        "tile_config",
+    ),
+)
+def multi_scene_coarse_step(
+    models: GaussianModel,        # scene-stacked: every leaf [S, ...]
+    opt_states,                   # scene-stacked
+    poses,                        # scene-stacked ObjectPose
+    pose_opt_states,              # scene-stacked
+    batches: FrameBatch,          # scene-stacked [S, F, ...]
+    cam_idxs: jnp.ndarray,        # [S] this iteration's frame per scene
+    table_Ts: jnp.ndarray,        # [S, F+1, 4, 4] identity-prefixed accums
+    table_Rs: jnp.ndarray,        # [S, F+1, 3, 3]
+    fixed_idxs: jnp.ndarray,      # [S] accumulated-prefix frame per scene
+    it: jnp.ndarray,              # scalar, shared schedule position
+    drop_maxes: jnp.ndarray,      # [S] running worst dropped-pair count
+    train_poses: jnp.ndarray,     # [S] bool — per-scene pose-trainable flag
+    first_frames: jnp.ndarray,    # [S] bool — per-scene first-frame flag
+    grad_params: bool = True,
+    xyz_lr_mult: jnp.ndarray | None = None,  # [S] per-scene extent factor
+    mesh: Mesh = None,
+    opt_cfg=None,
+    coarse_cfg=None,
+    backend: str = "tiled",
+    tile_config=None,
+):
+    """The REAL coarse-stage step (`train.coarse_pose.coarse_step` body) for
+    S scenes in lockstep on the `scene` mesh axis — the reference's
+    one-SLURM-job-per-video (train.sh:13-19) applied to stage 2
+    (coarse_obj_pose.py:88-369).
+
+    Each scene renders ONE frame per iteration (the coarse stage is
+    sequential in frames by pose chaining, so there is no data axis to
+    shard within a scene — the `data` rows replicate). The per-iteration
+    flags that the single-scene driver bakes in statically (train_pose,
+    first_frame, and grad_params' first_frame term) become per-scene traced
+    scalars; `grad_params` is passed as the OR over scenes and each scene
+    whose own flag would have been False gets its parameter grads zeroed
+    IN the adam_update (param_grad_gate) so moments and step counts match
+    the scene's independent run bit-for-bit
+    (tests/test_multi_scene_coarse.py).
+
+    Static model fields must match across the stack (pad capacities to the
+    max); tile_config is shared — take the max over scenes.
+    """
+    from egogaussian_tpu.train.coarse_pose import _coarse_body
+
+    cp = coarse_cfg
+    S = cam_idxs.shape[0]
+    if xyz_lr_mult is None:
+        xyz_lr_mult = jnp.ones(S, jnp.float32)
+
+    def one_scene(model, opt, pose, popt, batch, cidx, tT, tR, fidx, drop,
+                  tp, ff, mult):
+        # the single-scene driver's static formula, per scene and traced:
+        # grad_params = first_frame or it >= warm_up_iter
+        gate = (ff | (it >= cp.warm_up_iter)).astype(model.params.xyz.dtype)
+        return _coarse_body(
+            model, opt, pose, popt, batch, cidx, tT, tR, fidx, it, drop,
+            tp, ff, grad_params, opt_cfg, cp, backend, tile_config,
+            param_grad_gate=gate if grad_params else None,
+            xyz_lr_mult=mult,
+        )
+
+    def body(models, opts, poses, popts, batches, cidxs, tTs, tRs, fidxs,
+             drops, tps, ffs, mults):
+        return jax.vmap(one_scene)(
+            models, opts, poses, popts, batches, cidxs, tTs, tRs, fidxs,
+            drops, tps, ffs, mults,
+        )
+
+    scene = P("scene")
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(scene,) * 13,
+        out_specs=(scene,) * 7,
+        check_vma=False,
+    )
+    return mapped(
+        models, opt_states, poses, pose_opt_states, batches,
+        jnp.asarray(cam_idxs, jnp.int32), table_Ts, table_Rs,
+        jnp.asarray(fixed_idxs, jnp.int32),
+        jnp.asarray(drop_maxes, jnp.int32),
+        jnp.asarray(train_poses, bool), jnp.asarray(first_frames, bool),
+        jnp.asarray(xyz_lr_mult, jnp.float32),
+    )
+
+
 def make_multi_scene_step(
     mesh: Mesh, lambda_dssim: float = 0.2, backend: str = "tiled"
 ):

@@ -96,24 +96,37 @@ def _pose_core(
     backend: str = "tiled",
     tile_config=None,
     grad_params: bool = True,
+    param_grad_gate=None,
 ):
     """One pose-optimization iteration (shared core of stages 2 and 3 —
     always called from inside a stage-level jit).
     grad_params=False skips the Gaussian-parameter backward entirely (the
     coarse warm-up trains pose only for 20k of 30k iters — no point paying
-    for param gradients that meet zero learning rates)."""
+    for param gradients that meet zero learning rates).
+
+    `param_grad_gate` (traced 0/1 scalar, optional) zeroes the parameter
+    grads BEFORE adam_update. This reproduces the grad_params=False path
+    exactly while the backward still exists in the graph — zero LRs alone
+    would not (Adam moments would accumulate the gated grads and the step
+    count diverges). The multi-scene lockstep uses it for scenes whose
+    static grad_params flag would have been False.
+
+    `train_pose` may be a python bool (static — XLA folds the selects and
+    dead-code-eliminates the unused branch, reproducing the original
+    two-variant compilation) or a traced boolean scalar (per-scene flags
+    in the multi-scene lockstep, `coarse_step_traced`). A False flag must
+    leave the pose AND its Adam moments bit-identical — zero-gradient
+    updates would still decay the moments — so the pose update is
+    where-gated, not lr-zeroed."""
     cam, gt, hand, obj_mask = batch.frame(cam_idx)
     bg = jnp.zeros(3, model.params.xyz.dtype)
     probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
+    tp = jnp.asarray(train_pose)
 
     def loss_fn(params, pose_p, probe):
         m = dataclasses.replace(model, params=params)
-        if train_pose:
-            T = pose_to_se3(pose_p) @ fixed_T
-            R_extra = pose_p.rotation @ fixed_R
-        else:
-            T = fixed_T
-            R_extra = fixed_R
+        T = jnp.where(tp, pose_to_se3(pose_p) @ fixed_T, fixed_T)
+        R_extra = jnp.where(tp, pose_p.rotation @ fixed_R, fixed_R)
         res = render_gaussians(
             m, cam, bg, pose_T=T, extra_rot=R_extra, means2d_probe=probe,
             backend=backend, tile_config=tile_config,
@@ -138,6 +151,10 @@ def _pose_core(
         pose_grads, probe_grads = grads
         param_grads = jax.tree_util.tree_map(jnp.zeros_like, model.params)
 
+    if param_grad_gate is not None:
+        g = jnp.asarray(param_grad_gate, model.params.xyz.dtype)
+        param_grads = jax.tree_util.tree_map(lambda x: x * g, param_grads)
+
     # densification stats only after warm-up (coarse_obj_pose.py:283-287);
     # NDC-unit gradient scaling like the CUDA backward (see static.py)
     ndc_scale = jnp.array(
@@ -151,11 +168,15 @@ def _pose_core(
     new_params, new_opt = adam_update(model.params, param_grads, opt_state, lr_tree)
     model = dataclasses.replace(model, params=new_params)
 
-    if train_pose:
-        pose_lrs = ObjectPose(translation=pose_lr_t, rot6d=pose_lr_r)
-        pose, pose_opt_state = adam_update(
-            pose, pose_grads, pose_opt_state, pose_lrs
-        )
+    pose_lrs = ObjectPose(translation=pose_lr_t, rot6d=pose_lr_r)
+    new_pose, new_popt = adam_update(
+        pose, pose_grads, pose_opt_state, pose_lrs
+    )
+    sel = lambda new, old: jax.tree_util.tree_map(
+        lambda a, b: jnp.where(tp, a, b), new, old
+    )
+    pose = sel(new_pose, pose)
+    pose_opt_state = sel(new_popt, pose_opt_state)
     return (model, new_opt, pose, pose_opt_state, loss, radii,
             jnp.maximum(drop_max, dropped))
 
@@ -169,15 +190,17 @@ pose_step = functools.partial(
 )(_pose_core)
 
 
-def _coarse_lr_tree(model, it, opt, cp, first_frame: bool):
+def _coarse_lr_tree(model, it, opt, cp, first_frame):
     """Gaussian-field LR tree for the coarse stage: /10 dividers, opacity NOT
     divided (train_coarse_obj_setup, gaussian_model.py:810-849); zeroed
     during warm-up unless it's the first frame of the phase; xyz choreography
     per coarse_obj_pose.py:178-196. `it` is TRACED — the whole tree is
     computed inside the stage jit (host-side eager LR ops over the remote-TPU
-    tunnel cost more than the compiled step itself)."""
+    tunnel cost more than the compiled step itself). `first_frame` may be a
+    python bool (folded) or a traced scalar (multi-scene lockstep)."""
     spatial = model.spatial_lr_scale
     base = opt.position_lr_init * spatial / 10.0
+    ff = jnp.asarray(first_frame)
     xyz_expon = expon_lr(
         jnp.asarray(it - cp.densify_from_iter, jnp.float32),
         base,
@@ -185,14 +208,14 @@ def _coarse_lr_tree(model, it, opt, cp, first_frame: bool):
         lr_delay_mult=opt.position_lr_delay_mult,
         max_steps=opt.position_lr_max_steps,
     )
-    xyz_warm = jnp.float32(base if first_frame else 0.0)
+    xyz_warm = jnp.where(ff, jnp.float32(base), jnp.float32(0.0))
     xyz = jnp.where(
         it < cp.warm_up_iter,
         xyz_warm,
         jnp.where(it <= cp.densify_from_iter, base / 10.0, xyz_expon),
     )
     # non-xyz fields: active outside warm-up (or on the phase's first frame)
-    af = 1.0 if first_frame else jnp.where(it >= cp.warm_up_iter, 1.0, 0.0)
+    af = jnp.where(ff | (it >= cp.warm_up_iter), 1.0, 0.0)
     lrs = dict(
         xyz=xyz,
         features_dc=opt.feature_lr / 10.0 * af,
@@ -250,8 +273,31 @@ def coarse_step(
     traced iteration counter; the fixed accumulated transform is gathered
     from identity-prefixed per-frame tables ([F+1,4,4]/[F+1,3,3], row 0 =
     identity for "no prefix") by the traced `fixed_idx + 1`."""
+    return _coarse_body(
+        model, opt_state, pose, pose_opt_state, batch, cam_idx, table_T,
+        table_R, fixed_idx, it, drop_max, train_pose, first_frame,
+        grad_params, opt_cfg, coarse_cfg, backend, tile_config,
+    )
+
+
+def _coarse_body(model, opt_state, pose, pose_opt_state, batch, cam_idx,
+                 table_T, table_R, fixed_idx, it, drop_max, train_pose,
+                 first_frame, grad_params, opt_cfg, coarse_cfg, backend,
+                 tile_config, param_grad_gate=None, xyz_lr_mult=None):
+    """Shared body of `coarse_step` (static flags) and `coarse_step_traced`
+    (per-scene traced flags for the multi-scene lockstep).
+
+    `xyz_lr_mult` (traced scalar, optional) scales the xyz LR — the coarse
+    LR tree is linear in the STATIC spatial_lr_scale, so scenes with
+    different nerf++ extents share one compilation by training at
+    spatial_lr_scale=1 with their extent expressed here (exactly like
+    multi_scene_static_step)."""
     cp = coarse_cfg
     lr_tree = _coarse_lr_tree(model, it, opt_cfg, cp, first_frame)
+    if xyz_lr_mult is not None:
+        lr_tree = dataclasses.replace(
+            lr_tree, xyz=lr_tree.xyz * jnp.asarray(xyz_lr_mult, jnp.float32)
+        )
     plr_t, plr_r = _coarse_pose_lrs(it, opt_cfg, cp)
     return _pose_core(
         model, opt_state, pose, pose_opt_state, batch, cam_idx,
@@ -265,6 +311,54 @@ def coarse_step(
         backend=backend,
         tile_config=tile_config,
         grad_params=grad_params,
+        param_grad_gate=param_grad_gate,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grad_params", "opt_cfg", "coarse_cfg", "backend", "tile_config",
+    ),
+)
+def coarse_step_traced(
+    model: GaussianModel,
+    opt_state,
+    pose: ObjectPose,
+    pose_opt_state,
+    batch: FrameBatch,
+    cam_idx: jnp.ndarray,
+    table_T: jnp.ndarray,
+    table_R: jnp.ndarray,
+    fixed_idx: jnp.ndarray,
+    it: jnp.ndarray,
+    drop_max,
+    train_pose: jnp.ndarray,
+    first_frame: jnp.ndarray,
+    grad_params: bool = True,
+    param_grad_gate=None,
+    xyz_lr_mult=None,
+    opt_cfg=None,
+    coarse_cfg=None,
+    backend: str = "tiled",
+    tile_config=None,
+):
+    """`coarse_step` with train_pose/first_frame TRACED (boolean scalars):
+    the flag combinations share ONE compilation, which is what lets the
+    multi-scene lockstep give every scene its own per-iteration flags
+    (jax.vmap can't batch over static arguments). Matches the static-flag
+    step bit-for-bit including pose Adam moments
+    (tests/test_multi_scene_coarse.py). `grad_params` stays static — it
+    selects whether the parameter backward exists at all; the multi-scene
+    caller passes the OR over scenes and gates each scene whose static
+    flag would have been False via `param_grad_gate` (zeroed grads through
+    the SAME adam_update — moments and step count match the
+    grad_params=False path exactly; zero LRs alone would not)."""
+    return _coarse_body(
+        model, opt_state, pose, pose_opt_state, batch, cam_idx, table_T,
+        table_R, fixed_idx, it, drop_max, train_pose, first_frame,
+        grad_params, opt_cfg, coarse_cfg, backend, tile_config,
+        param_grad_gate=param_grad_gate, xyz_lr_mult=xyz_lr_mult,
     )
 
 
