@@ -7,14 +7,13 @@ here the shared stages run scene-parallel in-process:
   stage 1.0 static     -> train_static_scenes (lockstep over the scene axis)
   stage 1.1 masks      -> per-scene completion + completeness assert
   stage 1.2 background -> train_background_scenes
-  stages 2-6           -> per-scene run_pipeline(resume=True): it finds the
-                          stage-1 artifacts on disk and continues coarse ->
-                          fine -> interpolate -> fine_all -> eval. (The
-                          coarse stage is sequential per scene by nature —
-                          each frame's pose chains off the previous — so
-                          cross-video parallelism there needs the scene
-                          axis inside coarse_step; stages 2+ run per
-                          scene for now.)
+  stage 2   coarse     -> train_coarse_scenes: the frame-sequential pose
+                          chain runs per scene, but all scenes solve their
+                          k-th frame slot simultaneously (per-scene traced
+                          flags in multi_scene_coarse_step)
+  stages 3-6           -> per-scene run_pipeline(resume=True): it finds the
+                          stage-1/2 artifacts on disk and continues fine ->
+                          interpolate -> fine_all -> eval.
 
 Usage:
   python -m egogaussian_tpu.cli.train_multi \
@@ -55,6 +54,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--stage1_only", action="store_true",
                         help="stop after the scene-parallel stages 1.0-1.2")
+    parser.add_argument("--through_coarse", action="store_true",
+                        help="stop after the scene-parallel coarse stage 2")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--checkpoint_every", type=int, default=0)
     args = parser.parse_args(argv)
@@ -174,12 +175,59 @@ def main(argv=None):
         CONSOLE.print("[multi] stage 1 complete (--stage1_only)")
         return 0
 
-    # ---- stages 2-6: per scene via the resumable pipeline ----
+    # ---- stage 2: coarse object pose, scene-parallel (frame slots in
+    # lockstep; artifacts identical to estimate_coarse_obj_pose so
+    # run_pipeline(resume=True) skips the stage below) ----
+    from egogaussian_tpu.models.gaussians import load_ply
+    from egogaussian_tpu.parallel.scene_trainer import (
+        CoarseSceneInput,
+        train_coarse_scenes,
+    )
+
+    coarse_done = args.resume and all(
+        os.path.exists(os.path.join(o, "coarse", "obj_pose_sequence.npz"))
+        and os.path.exists(
+            os.path.join(o, "coarse", "ply", "gaussians_final.ply"))
+        for o in outs
+    )
+    if coarse_done:
+        CONSOLE.log("[multi] resume: coarse artifacts found for all scenes")
+    else:
+        coarse_inputs = []
+        for i, scene in enumerate(scenes):
+            ext = scene.cameras_extent
+            if results is not None:
+                obj_model = results[i][0].obj_model
+            else:
+                obj_model = load_ply(
+                    os.path.join(
+                        outs[i], "static", "ply", "static_phase0_obj.ply"),
+                    is_object=True, spatial_lr_scale=ext,
+                )
+            obj_model = dataclasses.replace(obj_model, spatial_lr_scale=ext)
+            training, _, _, st_ph, dy_ph = splits[i]
+            dynamic_groups = split_viewpoints_by_phase(
+                scene.cameras, dy_ph, training)
+            coarse_inputs.append(CoarseSceneInput(
+                cameras=scene.cameras, obj_model=obj_model,
+                static_phase_frames=static_groups_all[i],
+                dynamic_phase_frames=dynamic_groups,
+                cameras_extent=ext,
+                save_dir=os.path.join(outs[i], "coarse"),
+                seed=args.seed + i,
+            ))
+        train_coarse_scenes(coarse_inputs, cfg, mesh, backend=backend)
+
+    if args.through_coarse:
+        CONSOLE.print("[multi] stage 2 complete (--through_coarse)")
+        return 0
+
+    # ---- stages 3-6: per scene via the resumable pipeline ----
     from egogaussian_tpu.pipeline import run_pipeline
 
     for i, scene in enumerate(scenes):
         training, dyn_eval, st_eval, st_ph, dy_ph = splits[i]
-        CONSOLE.print(f"[multi] stages 2-6 for video {srcs[i]}")
+        CONSOLE.print(f"[multi] stages 3-6 for video {srcs[i]}")
         run_pipeline(
             scene, cfg, outs[i],
             training_frames=training, dynamic_eval_frames=dyn_eval,

@@ -10,7 +10,9 @@ from egogaussian_tpu.parallel.multi_scene import (
     unstack_scenes,
 )
 from egogaussian_tpu.parallel.scene_trainer import (
+    CoarseSceneInput,
     SceneInput,
     train_background_scenes,
+    train_coarse_scenes,
     train_static_scenes,
 )

@@ -257,6 +257,185 @@ def multi_scene_coarse_step(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "opt_cfg", "fine_cfg", "backend", "tile_config",
+    ),
+)
+def multi_scene_fine_step(
+    models: GaussianModel,        # scene-stacked: every leaf [S, ...]
+    opt_states,                   # scene-stacked
+    pose_seqs,                    # scene-stacked PoseSequence [S, F, ...]
+    pose_opt_states,              # scene-stacked
+    batches: FrameBatch,          # scene-stacked [S, F, ...]
+    cam_idxs: jnp.ndarray,        # [S] this iteration's frame per scene
+    it: jnp.ndarray,              # scalar, shared schedule position
+    drop_maxes: jnp.ndarray,      # [S] running worst dropped-pair count
+    train_poses: jnp.ndarray,     # [S] bool — per-lane dynamic-frame flag
+    xyz_lr_mult: jnp.ndarray | None = None,  # [S] per-scene extent factor
+    mesh: Mesh = None,
+    opt_cfg=None,
+    fine_cfg=None,
+    backend: str = "tiled",
+    tile_config=None,
+):
+    """The REAL fine_obj step (`train.fine_obj._fine_obj_step` body) for S
+    lanes in lockstep on the `scene` mesh axis — the reference's
+    one-SLURM-job-per-video (train.sh:13-19) applied to stage 3
+    (fine_obj.py:27-237). A "lane" is one (video, variant) pair: the
+    pipeline runs fine_obj twice per video (from-static / from-coarse,
+    train.py:104-118), and both variants are independent runs, so 2
+    videos fill 4 lanes.
+
+    Each lane renders ONE frame per iteration; the per-iteration
+    `train_pose` flag the single-scene driver bakes in statically becomes
+    a per-lane traced scalar (`_pose_core` where-gates the pose and its
+    Adam moments so a False lane stays bit-identical to its independent
+    run). The pose sequence is device-resident per lane; the frame's
+    stored delta is loaded in-jit, accumulated transforms are recomputed
+    in-jit, and the trained delta is written back gated on
+    (train_pose & pose-LR live), matching fine_obj.py:216-224.
+
+    Static model fields must match across the stack (pad capacities to
+    the max); tile_config is shared — take the max over lanes.
+    """
+    from egogaussian_tpu.models.pose import ObjectPose, pose_from_rt
+    from egogaussian_tpu.train.coarse_pose import _pose_core
+    from egogaussian_tpu.train.fine_obj import _fine_lr_tree
+
+    fp = fine_cfg
+    S = cam_idxs.shape[0]
+    if xyz_lr_mult is None:
+        xyz_lr_mult = jnp.ones(S, jnp.float32)
+
+    def one_lane(model, opt, pseq, popt, batch, cidx, drop, tp, mult):
+        accum_T = pseq.accum_T()
+        accum_R = pseq.accum_R()
+        eye4 = jnp.eye(4, dtype=accum_T.dtype)
+        eye3 = jnp.eye(3, dtype=accum_R.dtype)
+        # train_pose lane: load the frame's stored delta, fixed prefix is
+        # the accumulation through cidx-1 (identity at frame 0); otherwise
+        # identity pose against the full accumulation (fine_obj.py:113-119)
+        pose_tp = pose_from_rt(pseq.rotations[cidx], pseq.translations[cidx])
+        pose_no = ObjectPose(jnp.zeros(3, eye4.dtype), eye3[:, :2])
+        pose = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(tp, a, b), pose_tp, pose_no
+        )
+        prev = jnp.maximum(cidx - 1, 0)
+        prefix_T = jnp.where(cidx > 0, accum_T[prev], eye4)
+        prefix_R = jnp.where(cidx > 0, accum_R[prev], eye3)
+        fixed_T = jnp.where(tp, prefix_T, accum_T[cidx])
+        fixed_R = jnp.where(tp, prefix_R, accum_R[cidx])
+
+        lr_tree = _fine_lr_tree(model, it, opt_cfg)
+        lr_tree = dataclasses.replace(lr_tree, xyz=lr_tree.xyz * mult)
+        pose_live = it >= fp.densify_until_iter
+        plr_t = jnp.where(pose_live, opt_cfg.obj_translation_lr, 0.0)
+        plr_r = jnp.where(pose_live, opt_cfg.obj_rotation_lr, 0.0)
+
+        model, opt, pose, popt, loss, radii, drop = _pose_core(
+            model, opt, pose, popt, batch, cidx,
+            fixed_T, fixed_R, lr_tree, plr_t, plr_r,
+            jnp.asarray(True), drop,
+            train_pose=tp,
+            lambda_image=fp.lambda_Ll1_image,
+            lambda_dssim=fp.lambda_dssim,
+            lambda_l1_alpha=fp.lambda_Ll1_alpha,
+            lambda_l2_alpha=fp.lambda_Ll2_alpha,
+            backend=backend,
+            tile_config=tile_config,
+        )
+        if opt_cfg.obj_translation_lr > 0:
+            upd = pseq.update_frame(cidx, pose)
+            gate = tp & pose_live
+            pseq = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(gate, b, a), pseq, upd
+            )
+        return model, opt, pseq, popt, loss, radii, drop
+
+    def body(models, opts, pseqs, popts, batches, cidxs, drops, tps, mults):
+        return jax.vmap(one_lane)(
+            models, opts, pseqs, popts, batches, cidxs, drops, tps, mults
+        )
+
+    scene = P("scene")
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(scene,) * 9,
+        out_specs=(scene,) * 7,
+        check_vma=False,
+    )
+    return mapped(
+        models, opt_states, pose_seqs, pose_opt_states, batches,
+        jnp.asarray(cam_idxs, jnp.int32),
+        jnp.asarray(drop_maxes, jnp.int32),
+        jnp.asarray(train_poses, bool),
+        jnp.asarray(xyz_lr_mult, jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "lambda_dssim", "backend", "tile_config", "opt_cfg",
+    ),
+)
+def multi_scene_fine_all_step(
+    models: GaussianModel,        # scene-stacked: every leaf [S, ...]
+    opt_states,                   # scene-stacked
+    batches: FrameBatch,          # scene-stacked [S, F, ...]
+    cam_idxs: jnp.ndarray,        # [S]
+    accum_Ts: jnp.ndarray,        # [S, F, 4, 4] frozen accumulated poses
+    accum_Rs: jnp.ndarray,        # [S, F, 3, 3]
+    it: jnp.ndarray,              # scalar, shared schedule position
+    clamp_opacity: jnp.ndarray,   # scalar bool, shared (schedule-derived)
+    drop_maxes: jnp.ndarray,      # [S]
+    xyz_lr_mult: jnp.ndarray | None = None,  # [S]
+    mesh: Mesh = None,
+    lambda_dssim: float = 0.2,
+    backend: str = "tiled",
+    tile_config=None,
+    opt_cfg=None,
+):
+    """The REAL fine_all step (`train.fine_all._fine_all_body`) for S
+    scenes in lockstep on the `scene` mesh axis (stage 5,
+    fine_all.py:27-151). Poses are frozen all stage, so the accumulated
+    tables are precomputed per scene and gathered in-jit."""
+    from egogaussian_tpu.train.fine_all import _fine_all_body
+
+    S = cam_idxs.shape[0]
+    if xyz_lr_mult is None:
+        xyz_lr_mult = jnp.ones(S, jnp.float32)
+
+    def one_scene(model, opt, batch, cidx, tT, tR, drop, mult):
+        return _fine_all_body(
+            model, opt, batch, cidx, tT, tR, it, clamp_opacity, drop,
+            lambda_dssim=lambda_dssim, backend=backend,
+            tile_config=tile_config, opt_cfg=opt_cfg, xyz_lr_mult=mult,
+        )
+
+    def body(models, opts, batches, cidxs, tTs, tRs, drops, mults):
+        return jax.vmap(one_scene)(
+            models, opts, batches, cidxs, tTs, tRs, drops, mults
+        )
+
+    scene = P("scene")
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(scene,) * 8,
+        out_specs=(scene,) * 4,
+        check_vma=False,
+    )
+    return mapped(
+        models, opt_states, batches, jnp.asarray(cam_idxs, jnp.int32),
+        accum_Ts, accum_Rs, jnp.asarray(drop_maxes, jnp.int32),
+        jnp.asarray(xyz_lr_mult, jnp.float32),
+    )
+
+
 def make_multi_scene_step(
     mesh: Mesh, lambda_dssim: float = 0.2, backend: str = "tiled"
 ):

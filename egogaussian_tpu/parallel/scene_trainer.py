@@ -46,6 +46,9 @@ from egogaussian_tpu.models.gaussians import (
     save_ply,
 )
 from egogaussian_tpu.parallel.multi_scene import (
+    multi_scene_coarse_step,
+    multi_scene_fine_all_step,
+    multi_scene_fine_step,
     multi_scene_static_step,
     stack_scenes,
     unstack_scenes,
@@ -87,14 +90,17 @@ class SceneInput:
     jax.jit,
     static_argnames=(
         "max_grad", "min_opacity", "max_screen_size", "percent_dense",
+        "which_object",
     ),
 )
 def _densify_scenes(models, opt_states, keys, extents, *, max_grad,
-                    min_opacity, max_screen_size, percent_dense):
+                    min_opacity, max_screen_size, percent_dense,
+                    which_object=None):
     def one(m, o, k, e):
         return densify_and_prune(
             m, o, k, max_grad=max_grad, min_opacity=min_opacity, extent=e,
             max_screen_size=max_screen_size, percent_dense=percent_dense,
+            which_object=which_object,
         )
 
     return jax.vmap(one)(models, opt_states, keys, extents)
@@ -103,6 +109,24 @@ def _densify_scenes(models, opt_states, keys, extents, *, max_grad,
 _reset_opacity_scenes = jax.jit(
     jax.vmap(reset_opacity, in_axes=(0, 0)), static_argnames=()
 )
+_reset_opacity_scenes_obj = jax.jit(
+    jax.vmap(lambda m, o: reset_opacity(m, o, which_object=1),
+             in_axes=(0, 0))
+)
+
+
+def _select_scenes(active, new, old):
+    """Per-scene select over stacked pytrees: scene i keeps `old` where
+    active[i] is False (used to freeze scenes whose frame sequence is
+    shorter than the lockstep's — their step/densify results are computed
+    but discarded)."""
+    act = jnp.asarray(active)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            act.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+        ),
+        new, old,
+    )
 _prune_opacity_scenes = jax.jit(
     lambda ms, os_, min_opacity: jax.vmap(
         lambda m, o: prune_by_opacity(m, o, min_opacity=min_opacity)
@@ -347,6 +371,713 @@ def train_background_scenes(
         if scene_inputs[i].save_dir:
             save_ply(m, os.path.join(
                 scene_inputs[i].save_dir, "static_bg.ply"))
+        out.append(m)
+    return out
+
+
+@dataclasses.dataclass
+class CoarseSceneInput:
+    """One video's coarse-stage inputs (the per-scene arguments of
+    estimate_coarse_obj_pose)."""
+    cameras: Sequence
+    obj_model: object  # GaussianModel: the stage-1 object split
+    static_phase_frames: List[List[int]]
+    dynamic_phase_frames: List[List[int]]
+    cameras_extent: float
+    save_dir: Optional[str] = None
+    seed: int = 0
+
+
+def train_coarse_scenes(
+    scene_inputs: Sequence[CoarseSceneInput],
+    cfg: Config,
+    mesh,
+    backend: str = "auto",
+):
+    """Stage 2 for S scenes in lockstep on the `scene` mesh axis
+    (estimate_coarse_obj_pose twin, trainers/coarse_obj_pose.py:88-369).
+
+    The coarse stage is sequential in FRAMES within a video (each frame's
+    pose chains off the accumulated previous poses), so the reference
+    cannot parallelize inside a video — but S videos' frame solves are
+    independent, and this driver runs all scenes' k-th frame slot
+    simultaneously: per-iteration flags the single-scene driver bakes in
+    statically (train_pose / first_frame / grad_params) become per-scene
+    traced scalars of `multi_scene_coarse_step`, per-scene RNG streams
+    reproduce each scene's own frame-selection sequence, and scenes whose
+    videos have fewer frame slots are frozen (results computed but
+    discarded via where-select) for the lockstep's tail.
+
+    Per-scene nerf++ extents are exact: models train at
+    spatial_lr_scale=1 with the extent folded into xyz_lr_mult (the LR is
+    linear in it); densify extents are traced. Capacities and binning
+    configs are shared (max over scenes, like the other lockstep
+    drivers). With matching seeds this reproduces S individual
+    estimate_coarse_obj_pose runs (tests/test_multi_scene_coarse.py).
+
+    Resume granularity is the stage (pose sequences are saved after every
+    solved slot, but mid-stage model state is not checkpointed — the
+    single-scene driver remains the choice for frame-granular resume).
+
+    Returns per-scene (pose_seq, refined object model, solved_names).
+    """
+    from egogaussian_tpu.models.gaussians import ensure_capacity
+    from egogaussian_tpu.models.optim import AdamState
+    from egogaussian_tpu.models.pose import (
+        empty_pose_sequence,
+        identity_pose,
+        save_pose_sequence,
+    )
+    from egogaussian_tpu.train.coarse_pose import _accum_tables
+
+    S = len(scene_inputs)
+    cp = cfg.coarse
+    if S % mesh.shape["scene"]:
+        raise ValueError(
+            f"{S} scenes not divisible by scene axis {mesh.shape['scene']}"
+        )
+
+    # per-scene slot schedule: one slot per frame solve, phases flattened
+    slots: List[List[dict]] = []
+    for s in scene_inputs:
+        sl = []
+        for phase, dyn in enumerate(s.dynamic_phase_frames):
+            # append first frame of the next static phase
+            # (coarse_obj_pose.py:137)
+            frames = list(dyn) + [s.static_phase_frames[phase + 1][0]]
+            for k, f_cur in enumerate(frames):
+                sl.append(dict(
+                    phase=phase, f_cur=f_cur, dyn=list(dyn), k=k,
+                    first=(k == 0), last=(k == len(frames) - 1),
+                ))
+        slots.append(sl)
+    n_slots = max(len(sl) for sl in slots)
+
+    batches_l = [stack_cameras(list(s.cameras)) for s in scene_inputs]
+    f_max = max(b.num_frames for b in batches_l)
+    batches = stack_scenes([_pad_batch(b, f_max) for b in batches_l])
+    mask_nonempty = [
+        np.asarray(
+            jnp.sum(b.obj_masks.astype(jnp.int32), axis=(1, 2, 3)) > 0
+        )
+        for b in batches_l
+    ]
+
+    # shared capacity; per-scene spatial_lr_scale folded into xyz_lr_mult
+    cap = max(s.obj_model.capacity for s in scene_inputs)
+    grown = []
+    for s in scene_inputs:
+        m = dataclasses.replace(s.obj_model, spatial_lr_scale=1.0)
+        o = adam_init(m.params)
+        while m.capacity < cap:
+            m, o, _ = ensure_capacity(m, o, min_free=m.capacity + 1)
+        grown.append(m)
+    models = stack_scenes(grown)
+    xyz_mult = jnp.asarray(
+        [s.obj_model.spatial_lr_scale for s in scene_inputs], jnp.float32
+    )
+    extents = jnp.asarray(
+        [s.cameras_extent for s in scene_inputs], jnp.float32
+    )
+    tile_cfg = max(
+        (auto_tile_config(m, b.camera(0))
+         for m, b in zip(grown, batches_l)),
+        key=lambda t: t.max_pairs,
+    )
+    backend_r = pick_backend(tile_cfg, backend)
+
+    pose_seqs = [empty_pose_sequence(b.num_frames) for b in batches_l]
+    solved: List[Dict[int, str]] = [dict() for _ in scene_inputs]
+    rngs = [np.random.RandomState(s.seed) for s in scene_inputs]
+    drop = jnp.zeros(S, jnp.int32)
+    last_drop = 0
+    eyeT = jnp.eye(4, dtype=jnp.float32)
+    eyeR = jnp.eye(3, dtype=jnp.float32)
+    CONSOLE.log(
+        f"[coarse-scenes] {S} scenes, {n_slots} frame slots x "
+        f"{cp.total_num_iter} iters, capacity {cap}"
+    )
+
+    for slot in range(n_slots):
+        active = np.array([slot < len(sl) for sl in slots])
+        info = [sl[slot] if a else None for sl, a in zip(slots, active)]
+
+        # identity-prefixed accumulated-transform tables, padded to f_max+1
+        tT_l, tR_l = [], []
+        for i in range(S):
+            T, R = _accum_tables(pose_seqs[i])
+            pad = f_max + 1 - T.shape[0]
+            if pad:
+                T = jnp.concatenate([T, jnp.tile(eyeT[None], (pad, 1, 1))])
+                R = jnp.concatenate([R, jnp.tile(eyeR[None], (pad, 1, 1))])
+            tT_l.append(T)
+            tR_l.append(R)
+        tTs, tRs = jnp.stack(tT_l), jnp.stack(tR_l)
+
+        # previous-frame sampling pools (static 1x, solved dynamic 2x,
+        # nonempty object mask only — coarse_obj_pose.py:196-222)
+        pools, weights = [], []
+        for i in range(S):
+            if not active[i]:
+                pools.append([0])
+                weights.append(np.array([1.0]))
+                continue
+            d, s = info[i], scene_inputs[i]
+            pool = list(s.static_phase_frames[d["phase"]])
+            w = [1.0] * len(pool)
+            for g in d["dyn"]:
+                if g < d["f_cur"] and g in solved[i]:
+                    pool.append(g)
+                    w.append(2.0)
+            ok = mask_nonempty[i]
+            pool2 = [p for p in pool if ok[p]]
+            w2 = np.array(
+                [wi for p, wi in zip(pool, w) if ok[p]], np.float64
+            )
+            pools.append(pool2)
+            weights.append(w2 / w2.sum())
+
+        # fresh per-slot optimizer states (single-scene: fresh per frame)
+        poses = stack_scenes([identity_pose() for _ in range(S)])
+        pose_opts = stack_scenes(
+            [adam_init(identity_pose()) for _ in range(S)]
+        )
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, models.params)
+        opts = AdamState(mu=zeros, nu=zeros, count=jnp.zeros(S, jnp.int32))
+        keys = [
+            jax.random.PRNGKey(
+                scene_inputs[i].seed * 1000
+                + (info[i]["f_cur"] if active[i] else 0)
+            )
+            for i in range(S)
+        ]
+        ff = np.array(
+            [bool(active[i] and info[i]["first"]) for i in range(S)]
+        )
+
+        for it in range(1, cp.total_num_iter + 1):
+            cams = np.zeros(S, np.int32)
+            tps = np.zeros(S, bool)
+            fixed = np.full(S, -1, np.int32)  # -1 -> identity table row
+            for i in range(S):
+                if not active[i]:
+                    continue
+                d, s, rng = info[i], scene_inputs[i], rngs[i]
+                if it == 1:
+                    c, tp = s.static_phase_frames[0][0], False
+                elif rng.rand() <= cp.curr_vpt_prob:
+                    nxt = s.static_phase_frames[d["phase"] + 1]
+                    c = nxt[rng.randint(len(nxt))] if d["last"] else d["f_cur"]
+                    tp = True
+                else:
+                    c = pools[i][rng.choice(len(pools[i]), p=weights[i])]
+                    tp = False
+                cams[i], tps[i] = c, tp
+                fixed[i] = (d["f_cur"] - 1) if tp else c
+
+            nm, no, nps, npo, loss, radii, ndrop = multi_scene_coarse_step(
+                models, opts, poses, pose_opts, batches,
+                jnp.asarray(cams), tTs, tRs, jnp.asarray(fixed),
+                jnp.int32(it), drop, jnp.asarray(tps), jnp.asarray(ff),
+                grad_params=bool(ff.any()) or it >= cp.warm_up_iter,
+                xyz_lr_mult=xyz_mult, mesh=mesh, opt_cfg=cfg.opt,
+                coarse_cfg=cp, backend=backend_r, tile_config=tile_cfg,
+            )
+            models = _select_scenes(active, nm, models)
+            opts = _select_scenes(active, no, opts)
+            poses = _select_scenes(active, nps, poses)
+            pose_opts = _select_scenes(active, npo, pose_opts)
+            drop = jnp.where(jnp.asarray(active), ndrop, drop)
+
+            if it % cp.densification_interval == 0:
+                worst = int(jnp.max(drop))
+                if worst > last_drop:
+                    from egogaussian_tpu.train.common import (
+                        maybe_regrow_tile_config,
+                    )
+                    ms = unstack_scenes(models, S)
+                    merged = tile_cfg
+                    for m, b in zip(ms, batches_l):
+                        c2, _, ch = maybe_regrow_tile_config(
+                            m, b.camera(0), merged, worst, last_drop,
+                            "coarse-scenes",
+                        )
+                        if ch:
+                            merged = c2
+                    if merged != tile_cfg:
+                        tile_cfg = merged
+                        drop = jnp.zeros_like(drop)
+                        last_drop = 0
+                    else:
+                        last_drop = worst
+
+            # densification window (coarse_obj_pose.py:324-337)
+            if it < cp.densify_until_iter and it > cp.densify_from_iter:
+                if it % cp.densification_interval == 0:
+                    size_threshold = (
+                        20.0 if it > cp.opacity_reset_interval else None
+                    )
+                    subs = []
+                    for i in range(S):
+                        if active[i]:
+                            keys[i], sub = jax.random.split(keys[i])
+                        else:
+                            sub = keys[i]
+                        subs.append(sub)
+                    res = _densify_scenes(
+                        models, opts, jnp.stack(subs), extents,
+                        max_grad=cp.densify_grad_threshold,
+                        min_opacity=cp.min_opacity,
+                        max_screen_size=size_threshold,
+                        percent_dense=cfg.opt.percent_dense,
+                        which_object=1,
+                    )
+                    models = _select_scenes(active, res.model, models)
+                    opts = _select_scenes(active, res.opt_state, opts)
+                    overflow = np.asarray(res.overflow) * active
+                    if overflow.any():
+                        CONSOLE.log(
+                            f"[coarse-scenes] it {it}: densify overflow "
+                            f"{overflow.tolist()}"
+                        )
+                    models, opts, grew = ensure_capacity_scenes(models, opts)
+                    if grew:
+                        ms = unstack_scenes(models, S)
+                        tile_cfg = max(
+                            (auto_tile_config(m, b.camera(0))
+                             for m, b in zip(ms, batches_l)),
+                            key=lambda t: t.max_pairs,
+                        )
+                if it % cp.opacity_reset_interval == 0:
+                    nm, no = _reset_opacity_scenes_obj(models, opts)
+                    models = _select_scenes(active, nm, models)
+                    opts = _select_scenes(active, no, opts)
+
+        # write solved deltas back; save artifacts per scene
+        poses_l = unstack_scenes(poses, S)
+        loss_np = np.asarray(loss)
+        for i in range(S):
+            if not active[i]:
+                continue
+            d, s = info[i], scene_inputs[i]
+            pose_seqs[i] = pose_seqs[i].update_frame(d["f_cur"], poses_l[i])
+            solved[i][d["f_cur"]] = s.cameras[d["f_cur"]].image_name
+            CONSOLE.log(
+                f"[coarse-scenes] scene {i}: solved frame "
+                f"{s.cameras[d['f_cur']].image_name} (slot {slot + 1}), "
+                f"loss {loss_np[i]:.4f}"
+            )
+            if s.save_dir:
+                save_pose_sequence(
+                    os.path.join(s.save_dir, "obj_pose_sequence.npz"),
+                    pose_seqs[i],
+                    [c.image_name for c in s.cameras],
+                )
+                if (d["k"] + 1) % cp.save_ply_every == 0:
+                    m = unstack_scenes(models, S)[i]
+                    m = dataclasses.replace(
+                        m,
+                        spatial_lr_scale=s.obj_model.spatial_lr_scale,
+                    )
+                    save_ply(m, os.path.join(
+                        s.save_dir, "ply",
+                        f"gaussians_frame{d['f_cur']}.ply",
+                    ))
+
+    _log_dropped_pairs("coarse-scenes", None, int(jnp.max(drop)))
+    out = []
+    for i, m in enumerate(unstack_scenes(models, S)):
+        s = scene_inputs[i]
+        m = dataclasses.replace(
+            m, spatial_lr_scale=s.obj_model.spatial_lr_scale
+        )
+        if s.save_dir:
+            save_ply(m, os.path.join(s.save_dir, "ply", "gaussians_final.ply"))
+            save_pose_sequence(
+                os.path.join(s.save_dir, "obj_pose_sequence.npz"),
+                pose_seqs[i],
+                [c.image_name for c in s.cameras],
+            )
+        out.append((pose_seqs[i], m, solved[i]))
+    return out
+
+
+@dataclasses.dataclass
+class FineSceneInput:
+    """One LANE's fine_obj-stage inputs (the per-scene arguments of
+    fine_tune_obj). A lane is one (video, variant) pair — the pipeline
+    runs stage 3 twice per video (from-static / from-coarse,
+    fine_obj.py:49-61), and the runs are independent, so both variants of
+    every video go into one lockstep."""
+    cameras: Sequence
+    obj_model: object       # GaussianModel: the lane's base object PLY
+    pose_seq: object        # PoseSequence from the coarse stage
+    static_phase_frames: List[List[int]]
+    dynamic_phase_frames: List[List[int]]
+    cameras_extent: float
+    save_dir: Optional[str] = None
+    seed: int = 0
+
+
+def _pad_pose_seq(seq, f_max: int):
+    """Pad a PoseSequence to f_max frames with identity/unsolved rows
+    (padded indices are never sampled)."""
+    from egogaussian_tpu.models.pose import PoseSequence
+
+    f = seq.num_frames
+    if f == f_max:
+        return seq
+    pad = f_max - f
+    eye = jnp.eye(3, dtype=seq.rotations.dtype)
+    return PoseSequence(
+        translations=jnp.concatenate(
+            [seq.translations, jnp.zeros((pad, 3), seq.translations.dtype)]
+        ),
+        rotations=jnp.concatenate(
+            [seq.rotations, jnp.tile(eye[None], (pad, 1, 1))]
+        ),
+        solved=jnp.concatenate([seq.solved, jnp.zeros(pad, bool)]),
+    )
+
+
+def train_fine_scenes(
+    scene_inputs: Sequence[FineSceneInput],
+    cfg: Config,
+    mesh,
+    backend: str = "auto",
+):
+    """Stage 3 for S lanes in lockstep on the `scene` mesh axis
+    (fine_tune_obj twin, trainers/fine_obj.py:27-237).
+
+    Every lane runs the same fp.total_num_iter schedule, so unlike the
+    coarse driver there is no per-scene slot freezing: each iteration
+    samples one frame per lane from the lane's own 1:5-weighted pool with
+    the lane's own host RNG, and the per-iteration train_pose flag becomes
+    a per-lane traced scalar of multi_scene_fine_step. Densify/prune
+    (which_object=1), opacity resets, shared capacity growth and
+    drop-triggered binning regrowth follow the single-lane cadence. With
+    matching seeds this reproduces S individual fine_tune_obj runs
+    (tests/test_multi_scene_fine.py).
+
+    Resume granularity is the stage. Returns per-lane
+    (pose_seq, fine model)."""
+    from egogaussian_tpu.models.gaussians import ensure_capacity
+    from egogaussian_tpu.models.pose import (
+        ObjectPose,
+        save_pose_sequence,
+    )
+
+    S = len(scene_inputs)
+    fp = cfg.fine
+    if S % mesh.shape["scene"]:
+        raise ValueError(
+            f"{S} lanes not divisible by scene axis {mesh.shape['scene']}"
+        )
+
+    batches_l = [stack_cameras(list(s.cameras)) for s in scene_inputs]
+    f_max = max(b.num_frames for b in batches_l)
+    batches = stack_scenes([_pad_batch(b, f_max) for b in batches_l])
+
+    # per-lane frame pools (static 1x, solved dynamic 5x, fine_obj.py:68-76)
+    frames_l, weights_l, dyn_sets = [], [], []
+    for s in scene_inputs:
+        static_list = [f for ph in s.static_phase_frames for f in ph]
+        solved = np.asarray(s.pose_seq.solved)
+        dynamic_list = [
+            f for ph in s.dynamic_phase_frames for f in ph if solved[f]
+        ]
+        frames = static_list + dynamic_list
+        w = np.array([1.0] * len(static_list) + [5.0] * len(dynamic_list))
+        frames_l.append(np.asarray(frames, np.int64))
+        weights_l.append(w / w.sum())
+        dyn_sets.append(set(dynamic_list))
+
+    # shared capacity; per-lane spatial_lr_scale folded into xyz_lr_mult
+    cap = max(s.obj_model.capacity for s in scene_inputs)
+    grown = []
+    for s in scene_inputs:
+        m = dataclasses.replace(s.obj_model, spatial_lr_scale=1.0)
+        o = adam_init(m.params)
+        while m.capacity < cap:
+            m, o, _ = ensure_capacity(m, o, min_free=m.capacity + 1)
+        grown.append(m)
+    models = stack_scenes(grown)
+    opts = stack_scenes([adam_init(m.params) for m in grown])
+    xyz_mult = jnp.asarray(
+        [s.obj_model.spatial_lr_scale for s in scene_inputs], jnp.float32
+    )
+    extents = jnp.asarray(
+        [s.cameras_extent for s in scene_inputs], jnp.float32
+    )
+    pose_seqs = stack_scenes(
+        [_pad_pose_seq(s.pose_seq, f_max) for s in scene_inputs]
+    )
+    pose_opts = stack_scenes([
+        adam_init(ObjectPose(jnp.zeros(3), jnp.eye(3)[:, :2]))
+        for _ in scene_inputs
+    ])
+    tile_cfg = max(
+        (auto_tile_config(m, b.camera(0)) for m, b in zip(grown, batches_l)),
+        key=lambda t: t.max_pairs,
+    )
+    backend_r = pick_backend(tile_cfg, backend)
+
+    rngs = [np.random.RandomState(s.seed) for s in scene_inputs]
+    keys = [jax.random.PRNGKey(s.seed) for s in scene_inputs]
+    drop = jnp.zeros(S, jnp.int32)
+    last_drop = 0
+    CONSOLE.log(
+        f"[fine-scenes] {S} lanes, {fp.total_num_iter} iters, "
+        f"capacity {cap}"
+    )
+
+    for it in range(1, fp.total_num_iter + 1):
+        cams = np.zeros(S, np.int32)
+        tps = np.zeros(S, bool)
+        for i in range(S):
+            if it == 1:
+                cams[i], tps[i] = scene_inputs[i].static_phase_frames[0][0], False
+            else:
+                c = int(frames_l[i][
+                    rngs[i].choice(len(frames_l[i]), p=weights_l[i])
+                ])
+                cams[i], tps[i] = c, c in dyn_sets[i]
+
+        models, opts, pose_seqs, pose_opts, loss, radii, drop = (
+            multi_scene_fine_step(
+                models, opts, pose_seqs, pose_opts, batches,
+                jnp.asarray(cams), jnp.int32(it), drop, jnp.asarray(tps),
+                xyz_lr_mult=xyz_mult, mesh=mesh, opt_cfg=cfg.opt,
+                fine_cfg=fp, backend=backend_r, tile_config=tile_cfg,
+            )
+        )
+
+        if it % fp.densification_interval == 0:
+            worst = int(jnp.max(drop))
+            if worst > last_drop:
+                from egogaussian_tpu.train.common import (
+                    maybe_regrow_tile_config,
+                )
+                ms = unstack_scenes(models, S)
+                merged = tile_cfg
+                for m, b in zip(ms, batches_l):
+                    c2, _, ch = maybe_regrow_tile_config(
+                        m, b.camera(0), merged, worst, last_drop,
+                        "fine-scenes",
+                    )
+                    if ch:
+                        merged = c2
+                if merged != tile_cfg:
+                    tile_cfg = merged
+                    drop = jnp.zeros_like(drop)
+                    last_drop = 0
+                else:
+                    last_drop = worst
+
+        if it < fp.densify_until_iter and it > fp.densify_from_iter:
+            if it % fp.densification_interval == 0:
+                size_threshold = (
+                    20.0 if it > fp.opacity_reset_interval else None
+                )
+                subs = []
+                for i in range(S):
+                    keys[i], sub = jax.random.split(keys[i])
+                    subs.append(sub)
+                res = _densify_scenes(
+                    models, opts, jnp.stack(subs), extents,
+                    max_grad=fp.densify_grad_threshold,
+                    min_opacity=fp.min_opacity,
+                    max_screen_size=size_threshold,
+                    percent_dense=cfg.opt.percent_dense,
+                    which_object=1,
+                )
+                models, opts = res.model, res.opt_state
+                overflow = np.asarray(res.overflow)
+                if overflow.any():
+                    CONSOLE.log(
+                        f"[fine-scenes] it {it}: densify overflow "
+                        f"{overflow.tolist()}"
+                    )
+                models, opts, grew = ensure_capacity_scenes(models, opts)
+                if grew:
+                    ms = unstack_scenes(models, S)
+                    tile_cfg = max(
+                        (auto_tile_config(m, b.camera(0))
+                         for m, b in zip(ms, batches_l)),
+                        key=lambda t: t.max_pairs,
+                    )
+            if it % fp.opacity_reset_interval == 0:
+                models, opts = _reset_opacity_scenes_obj(models, opts)
+
+    _log_dropped_pairs("fine-scenes", None, int(jnp.max(drop)))
+    out = []
+    models_l = unstack_scenes(models, S)
+    pose_seqs_l = unstack_scenes(pose_seqs, S)
+    for i, s in enumerate(scene_inputs):
+        m = dataclasses.replace(
+            models_l[i], spatial_lr_scale=s.obj_model.spatial_lr_scale
+        )
+        seq = jax.tree_util.tree_map(
+            lambda x: x[: batches_l[i].num_frames], pose_seqs_l[i]
+        )
+        if s.save_dir:
+            save_pose_sequence(
+                os.path.join(s.save_dir, "obj_pose_sequence.npz"),
+                seq, [c.image_name for c in s.cameras],
+            )
+            save_ply(m, os.path.join(s.save_dir, "gaussians_fine.ply"))
+        out.append((seq, m))
+    return out
+
+
+@dataclasses.dataclass
+class FineAllSceneInput:
+    """One video's fine_all-stage inputs (the per-scene arguments of
+    fine_tune_all)."""
+    cameras: Sequence
+    obj_model: object       # GaussianModel: the chosen fine_obj variant
+    bg_model: object        # GaussianModel: the stage-1.2 background
+    pose_seq: object        # interpolated PoseSequence (stage 4 output)
+    static_phase_frames: List[List[int]]
+    dynamic_phase_frames: List[List[int]]
+    save_dir: Optional[str] = None
+    seed: int = 0
+
+
+def train_fine_all_scenes(
+    scene_inputs: Sequence[FineAllSceneInput],
+    cfg: Config,
+    mesh,
+    backend: str = "auto",
+):
+    """Stage 5 for S videos in lockstep on the `scene` mesh axis
+    (fine_tune_all twin, trainers/fine_all.py:27-151): object + background
+    combined per scene, poses frozen (accumulated tables precomputed),
+    1:4-weighted frame sampling per scene, the reference's stray opacity
+    clamp applied in-step under the shared schedule flag. No
+    densification in this stage, so capacities are fixed by the combine.
+    With matching seeds this reproduces S individual fine_tune_all runs
+    (tests/test_multi_scene_fine.py). Returns the per-scene final models."""
+    from egogaussian_tpu.models.gaussians import combine_models, ensure_capacity
+
+    S = len(scene_inputs)
+    ap = cfg.fine_all
+    if S % mesh.shape["scene"]:
+        raise ValueError(
+            f"{S} scenes not divisible by scene axis {mesh.shape['scene']}"
+        )
+
+    batches_l = [stack_cameras(list(s.cameras)) for s in scene_inputs]
+    f_max = max(b.num_frames for b in batches_l)
+    batches = stack_scenes([_pad_batch(b, f_max) for b in batches_l])
+
+    frames_l, weights_l = [], []
+    for s in scene_inputs:
+        static_list = [f for ph in s.static_phase_frames for f in ph]
+        dynamic_list = [f for ph in s.dynamic_phase_frames for f in ph]
+        frames = static_list + dynamic_list
+        w = np.array([1.0] * len(static_list) + [4.0] * len(dynamic_list))
+        frames_l.append(np.asarray(frames, np.int64))
+        weights_l.append(w / w.sum())
+
+    combined = [
+        combine_models(s.obj_model, s.bg_model) for s in scene_inputs
+    ]
+    cap = max(m.capacity for m in combined)
+    grown = []
+    for m in combined:
+        m = dataclasses.replace(m, spatial_lr_scale=1.0)
+        o = adam_init(m.params)
+        while m.capacity < cap:
+            m, o, _ = ensure_capacity(m, o, min_free=m.capacity + 1)
+        grown.append(m)
+    models = stack_scenes(grown)
+    opts = stack_scenes([adam_init(m.params) for m in grown])
+    xyz_mult = jnp.asarray(
+        [s.obj_model.spatial_lr_scale for s in scene_inputs], jnp.float32
+    )
+
+    # poses frozen all stage: accumulate once per scene (fine_all.py:151-153)
+    def pad_tbl(t, eye):
+        pad = f_max - t.shape[0]
+        if pad:
+            t = jnp.concatenate([t, jnp.tile(eye[None], (pad, 1, 1))])
+        return t
+
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    accum_Ts = jnp.stack(
+        [pad_tbl(s.pose_seq.accum_T(), eye4) for s in scene_inputs]
+    )
+    accum_Rs = jnp.stack(
+        [pad_tbl(s.pose_seq.accum_R(), eye3) for s in scene_inputs]
+    )
+
+    tile_cfg = max(
+        (auto_tile_config(m, b.camera(0)) for m, b in zip(grown, batches_l)),
+        key=lambda t: t.max_pairs,
+    )
+    backend_r = pick_backend(tile_cfg, backend)
+
+    rngs = [np.random.RandomState(s.seed) for s in scene_inputs]
+    drop = jnp.zeros(S, jnp.int32)
+    last_drop = 0
+    CONSOLE.log(
+        f"[fine_all-scenes] {S} scenes, {ap.total_num_iter} iters, "
+        f"capacity {cap}"
+    )
+
+    for it in range(1, ap.total_num_iter + 1):
+        cams = np.zeros(S, np.int32)
+        for i in range(S):
+            if it == 1:
+                cams[i] = scene_inputs[i].static_phase_frames[0][0]
+            else:
+                cams[i] = int(frames_l[i][
+                    rngs[i].choice(len(frames_l[i]), p=weights_l[i])
+                ])
+        clamp = (
+            ap.densify_from_iter < it < ap.densify_until_iter
+            and bool(it % ap.opacity_reset_interval)
+        )
+        models, opts, loss, drop = multi_scene_fine_all_step(
+            models, opts, batches, jnp.asarray(cams), accum_Ts, accum_Rs,
+            jnp.int32(it), jnp.asarray(clamp), drop,
+            xyz_lr_mult=xyz_mult, mesh=mesh,
+            lambda_dssim=ap.lambda_dssim, backend=backend_r,
+            tile_config=tile_cfg, opt_cfg=cfg.opt,
+        )
+        if it % ap.opacity_reset_interval == 0:
+            worst = int(jnp.max(drop))
+            if worst > last_drop:
+                from egogaussian_tpu.train.common import (
+                    maybe_regrow_tile_config,
+                )
+                ms = unstack_scenes(models, S)
+                merged = tile_cfg
+                for m, b in zip(ms, batches_l):
+                    c2, _, ch = maybe_regrow_tile_config(
+                        m, b.camera(0), merged, worst, last_drop,
+                        "fine_all-scenes",
+                    )
+                    if ch:
+                        merged = c2
+                if merged != tile_cfg:
+                    tile_cfg = merged
+                    drop = jnp.zeros_like(drop)
+                    last_drop = 0
+                else:
+                    last_drop = worst
+
+    _log_dropped_pairs("fine_all-scenes", None, int(jnp.max(drop)))
+    out = []
+    for i, m in enumerate(unstack_scenes(models, S)):
+        s = scene_inputs[i]
+        m = dataclasses.replace(
+            m, spatial_lr_scale=s.obj_model.spatial_lr_scale
+        )
+        if s.save_dir:
+            save_ply(m, os.path.join(s.save_dir, "gaussians_all.ply"))
         out.append(m)
     return out
 

@@ -13,7 +13,6 @@ Behavioral twin of reference `trainers/fine_all.py:25-138`:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import List, Optional, Sequence
 
@@ -38,11 +37,7 @@ from egogaussian_tpu.train.static import _log_dropped_pairs
 from egogaussian_tpu.utils.console import CONSOLE
 
 
-@functools.partial(
-    jax.jit, static_argnames=("lambda_dssim", "backend", "tile_config",
-                              "opt_cfg")
-)
-def _fine_all_step(
+def _fine_all_body(
     model: GaussianModel,
     opt_state,
     batch: FrameBatch,
@@ -56,13 +51,19 @@ def _fine_all_step(
     backend: str = "tiled",
     tile_config=None,
     opt_cfg=None,
+    xyz_lr_mult=None,
 ):
     """One stage-5 iteration. The frozen per-frame pose is gathered in-jit
     from the device-resident accumulated tables ([F,4,4]/[F,3,3]); the LR
     tree (train_fine_all_setup with divide_3dgs_lr_by=1, fine_all.py:55 +
     per-iteration xyz expon schedule) is computed in-jit from the traced
     iteration counter; `clamp_opacity` applies the reference's stray
-    opacity clamp (fine_all.py:121-124) inside the same dispatch."""
+    opacity clamp (fine_all.py:121-124) inside the same dispatch.
+
+    `xyz_lr_mult` (traced scalar, optional): per-scene spatial-extent
+    factor for the multi-scene lockstep — the xyz LR is linear in
+    spatial_lr_scale so scenes stored at spatial 1.0 train exactly as if
+    theirs were `mult` (parallel/multi_scene.py)."""
     cam, gt, hand, _ = batch.frame(cam_idx)
     bg = jnp.zeros(3, model.params.xyz.dtype)
     fixed_T = accum_T[cam_idx]
@@ -76,6 +77,8 @@ def _fine_all_step(
         lr_delay_mult=o.position_lr_delay_mult,
         max_steps=o.position_lr_max_steps,
     )
+    if xyz_lr_mult is not None:
+        xyz_lr = xyz_lr * jnp.asarray(xyz_lr_mult, jnp.float32)
     lrs = dict(
         xyz=xyz_lr,
         features_dc=o.feature_lr,
@@ -110,6 +113,12 @@ def _fine_all_step(
         (model, new_opt), (clamped_model, clamped_opt),
     )
     return model, new_opt, loss, jnp.maximum(drop_max, dropped)
+
+
+_fine_all_step = jax.jit(
+    _fine_all_body,
+    static_argnames=("lambda_dssim", "backend", "tile_config", "opt_cfg"),
+)
 
 
 def fine_tune_all(

@@ -108,6 +108,110 @@ class TestTracedFlagCoarseStep:
         )
 
 
+def _coarse_cfg():
+    import dataclasses as dc
+
+    cfg = Config()
+    cfg = dc.replace(
+        cfg,
+        coarse=dc.replace(
+            cfg.coarse,
+            warm_up_iter=12, total_num_iter=20,
+            densify_from_iter=13, densify_until_iter=18,
+            densification_interval=2, opacity_reset_interval=4,
+        ),
+    )
+    return cfg
+
+
+def _gt_obj_model(vid, capacity, spatial):
+    pts = vid.gt_means[vid.gt_is_object]
+    cols = vid.colors[vid.gt_is_object]
+    m = from_points(pts, cols, capacity=capacity,
+                    spatial_lr_scale=spatial)
+    n = len(pts)
+    aux = dataclasses.replace(
+        m.aux, is_object=jnp.where(jnp.arange(capacity) < n, 1, 0)
+    )
+    return dataclasses.replace(m, aux=aux)
+
+
+@pytest.mark.slow
+class TestCoarseStageDriver:
+    def test_matches_individual_runs(self, tmp_path):
+        """train_coarse_scenes (lockstep slots: per-scene RNG frame
+        selection, traced flags, densify window, scene-1 finishing one
+        slot early) reproduces per-scene estimate_coarse_obj_pose runs
+        with matching seeds — pose sequences AND refined models."""
+        from egogaussian_tpu.data.readers import split_viewpoints_by_phase
+        from egogaussian_tpu.parallel.scene_trainer import (
+            CoarseSceneInput, train_coarse_scenes,
+        )
+        from egogaussian_tpu.train.coarse_pose import (
+            estimate_coarse_obj_pose,
+        )
+
+        cfg = _coarse_cfg()
+        # different dynamic-frame counts: scene 1 runs one slot fewer and
+        # must freeze exactly for the lockstep tail
+        vids = [
+            make_synthetic_video(width=32, height=24, n_bg=40, n_obj=12,
+                                 frames_static=3, frames_dynamic=d, seed=s)
+            for d, s in ((3, 0), (2, 3))
+        ]
+        spatials = [1.0, 1.4]
+        extents = [1.0, 1.4]
+        seeds = [0, 3]
+
+        singles = []
+        groups = []
+        for vid, sp, ext, seed in zip(vids, spatials, extents, seeds):
+            sg = split_viewpoints_by_phase(vid.cameras, vid.static_phases)
+            dg = split_viewpoints_by_phase(vid.cameras, vid.dynamic_phases)
+            groups.append((sg, dg))
+            obj = _gt_obj_model(vid, capacity=64, spatial=sp)
+            singles.append(estimate_coarse_obj_pose(
+                vid.cameras, obj, cfg, sg, dg, ext, seed=seed,
+                backend="tiled",
+            ))
+
+        mesh = make_mesh(n_scene=2, n_data=4)
+        inputs = [
+            CoarseSceneInput(
+                cameras=vid.cameras,
+                obj_model=_gt_obj_model(vid, capacity=64, spatial=sp),
+                static_phase_frames=sg, dynamic_phase_frames=dg,
+                cameras_extent=ext, seed=seed,
+            )
+            for vid, sp, ext, seed, (sg, dg) in zip(
+                vids, spatials, extents, seeds, groups
+            )
+        ]
+        multi = train_coarse_scenes(inputs, cfg, mesh, backend="tiled")
+
+        for i in range(2):
+            seq1, m1, solved1 = singles[i]
+            seq2, m2, solved2 = multi[i]
+            assert solved2 == solved1, f"scene{i} solved sets differ"
+            np.testing.assert_allclose(
+                np.asarray(seq2.translations), np.asarray(seq1.translations),
+                atol=2e-5, err_msg=f"scene{i}.translations",
+            )
+            np.testing.assert_allclose(
+                np.asarray(seq2.rotations), np.asarray(seq1.rotations),
+                atol=2e-5, err_msg=f"scene{i}.rotations",
+            )
+            assert int(m2.num_alive) == int(m1.num_alive), f"scene{i} alive"
+            a1 = np.asarray(m1.aux.alive)
+            a2 = np.asarray(m2.aux.alive)
+            for name in FIELDS:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(m2.params, name))[a2],
+                    np.asarray(getattr(m1.params, name))[a1],
+                    atol=1e-4, err_msg=f"scene{i}.{name}",
+                )
+
+
 class TestMultiSceneCoarseStep:
     # post-warm-up (both scenes grad_params=True), and mid-warm-up where
     # scene 1 is NOT its phase's first frame: its single-scene run uses

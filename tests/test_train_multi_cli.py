@@ -60,3 +60,34 @@ def test_train_multi_stage1(tmp_path):
     ])
     assert rc == 0
     assert time.time() - t0 < 60, "resume must not retrain"
+
+    # stage 2 scene-parallel: resume past stage 1, run the lockstep coarse
+    # stage, stop (--through_coarse); artifacts follow the single-video
+    # pipeline layout so run_pipeline(resume=True) would skip stage 2
+    coarse_args = [
+        "--videos", *datasets, "--outputs", *outputs, "--mesh", "2x4",
+        "--through_coarse", "--resume", "--backend", "tiled",
+        "--s_std_train_iter", "6", "--s_entropy_reg_iter", "3",
+        "--s_label_train_iter", "3",
+        "--b_std_train_iter", "6", "--b_entropy_reg_iter", "3",
+        "--c_warm_up_iter", "6", "--c_total_num_iter", "10",
+        "--c_densify_from_iter", "7", "--c_densify_until_iter", "9",
+        "--c_densification_interval", "2", "--c_opacity_reset_interval", "4",
+    ]
+    rc = main(coarse_args)
+    assert rc == 0
+    import numpy as np
+
+    for out in outputs:
+        pose_npz = os.path.join(out, "coarse", "obj_pose_sequence.npz")
+        assert os.path.exists(pose_npz)
+        assert os.path.exists(
+            os.path.join(out, "coarse", "ply", "gaussians_final.ply"))
+        # every dynamic frame + next-static anchor must be solved
+        with np.load(pose_npz) as z:
+            assert z["solved"].sum() >= 3
+
+    t0 = time.time()
+    rc = main(coarse_args)
+    assert rc == 0
+    assert time.time() - t0 < 60, "coarse resume must not retrain"
