@@ -99,9 +99,25 @@ def _watchdog(signum, frame):
     _emit(rec)
 
 
+def _sigterm(signum, frame):
+    # leave no stale flag behind if an outer supervisor kills the bench
+    try:
+        os.remove(BENCH_FLAG)
+    except OSError:
+        pass
+    os._exit(128 + signum)
+
+
 def _claim_tunnel():
     """Claim cooperation: flag up, then probe until a throwaway subprocess
-    can reach the TPU (each probe claims + releases the tunnel)."""
+    can reach the TPU (each probe claims + releases the tunnel).
+
+    Under the TPU queue supervisor (BENCH_UNDER_QUEUE=1) the queue already
+    owns tunnel serialization — raising the flag there would make the
+    supervisor preempt its own bench job."""
+    signal.signal(signal.SIGTERM, _sigterm)
+    if os.environ.get("BENCH_UNDER_QUEUE"):
+        return
     with open(BENCH_FLAG, "w") as f:
         f.write(f"{os.getpid()} {time.time()}\n")
     if os.environ.get("JAX_PLATFORMS", "") == "cpu" or not os.environ.get(
