@@ -1,8 +1,10 @@
-"""Real spherical harmonics evaluation (degrees 0-3), pure jnp.
+"""Real spherical harmonics evaluation (degrees 0-4), pure jnp.
 
-Functional twin of reference `utils/sh_utils.py:57-118` (eval_sh, RGB2SH,
-SH2RGB). The pipeline runs sh_degree=0 (`arguments/__init__.py:49`), but the
-framework supports degrees 0-3 like the reference rasterizer.
+Functional twin of reference `utils/sh_utils.py:57-112` (eval_sh, RGB2SH,
+SH2RGB), including the hardcoded degree-4 polynomial table. The pipeline
+runs sh_degree=0 (`arguments/__init__.py:49`), but the framework supports
+degrees 0-4 like the reference. The constant tables are validated by an
+exact Gauss-Legendre orthonormality quadrature (tests/test_ops_math.py).
 """
 from __future__ import annotations
 

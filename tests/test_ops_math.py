@@ -175,7 +175,7 @@ class TestSH:
         out = eval_sh(0, sh, dirs)
         np.testing.assert_allclose(out, 0.28209479177387814 * sh[..., 0], atol=1e-6)
 
-    @pytest.mark.parametrize("deg", [1, 2, 3])
+    @pytest.mark.parametrize("deg", [1, 2, 3, 4])
     def test_higher_degrees_finite(self, deg):
         k = (deg + 1) ** 2
         sh = jax.random.normal(jax.random.PRNGKey(22), (7, 3, k))
@@ -184,6 +184,35 @@ class TestSH:
         out = eval_sh(deg, sh, dirs)
         assert out.shape == (7, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_basis_orthonormal_through_degree4(self):
+        """Independent golden for every constant in the C0..C4 tables
+        (reference utils/sh_utils.py:57-112): the 25 real-SH basis
+        functions must satisfy ∫ Y_i Y_j dΩ = δ_ij. Products of two
+        degree-≤4 spherical polynomials are degree-8 in cosθ and have
+        azimuthal orders ≤ 8, so a 16-node Gauss-Legendre grid in cosθ ×
+        32 uniform φ nodes integrates them EXACTLY (up to f64 rounding) —
+        any wrong table constant shows up as a diagonal ≠ 1 or a nonzero
+        cross term."""
+        nodes, weights = np.polynomial.legendre.leggauss(16)
+        phi = (np.arange(32) + 0.5) * (2 * np.pi / 32)
+        ct, ph = np.meshgrid(nodes, phi, indexing="ij")  # [16, 32]
+        st = np.sqrt(1.0 - ct**2)
+        dirs = np.stack(
+            [st * np.cos(ph), st * np.sin(ph), ct], axis=-1
+        ).reshape(-1, 3)
+        w = np.broadcast_to(
+            weights[:, None] * (2 * np.pi / 32), (16, 32)
+        ).reshape(-1)
+        # basis_k(dir) = eval_sh with one-hot coefficients; do all 25 at
+        # once through the channel axis
+        sh = np.broadcast_to(np.eye(25), (len(dirs), 25, 25))
+        basis = np.asarray(
+            eval_sh(4, jnp.asarray(sh, jnp.float64), jnp.asarray(dirs)),
+            np.float64,
+        )  # [npts, 25]
+        gram = np.einsum("p,pi,pj->ij", w, basis, basis)
+        np.testing.assert_allclose(gram, np.eye(25), atol=5e-6)
 
 
 class TestKNN:
