@@ -232,7 +232,7 @@ def _step_bytes_estimate(n, tile_cfg, width, height, d=3):
 
 
 def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50,
-                         tile_size=16):
+                         tile_size=16, mxu_accum=None):
     """it/s of the full train step (render fwd+bwd+Adam) at width x height.
     n_warmup_train real steps are applied first (annealing the scene with
     actual training, so the measured distribution is self-generated).
@@ -263,6 +263,8 @@ def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50,
     )
     tile_cfg = auto_tile_config(model, batch.camera(0), headroom=1.5,
                                 tile_size=tile_size)
+    if mxu_accum is not None:
+        tile_cfg = dataclasses.replace(tile_cfg, mxu_accum=mxu_accum)
     backend = pick_backend(tile_cfg, "auto")
 
     @jax.jit

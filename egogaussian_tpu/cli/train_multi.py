@@ -11,9 +11,14 @@ here the shared stages run scene-parallel in-process:
                           chain runs per scene, but all scenes solve their
                           k-th frame slot simultaneously (per-scene traced
                           flags in multi_scene_coarse_step)
-  stages 3-6           -> per-scene run_pipeline(resume=True): it finds the
-                          stage-1/2 artifacts on disk and continues fine ->
-                          interpolate -> fine_all -> eval.
+  stage 3   fine_obj   -> train_fine_scenes: BOTH variants of every video
+                          as 2V lockstep lanes
+  stage 4   interpolate-> host-side per scene (cheap)
+  stage 5   fine_all   -> train_fine_all_scenes (V lockstep scenes)
+  stage 6   eval       -> per-scene run_pipeline(resume=True): finds every
+                          stage artifact on disk and only renders + scores.
+  Lane counts that don't divide the scene axis fall back to the per-video
+  pipeline for the affected stages.
 
 Usage:
   python -m egogaussian_tpu.cli.train_multi \
@@ -58,6 +63,9 @@ def main(argv=None):
                         help="stop after the scene-parallel coarse stage 2")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--checkpoint_every", type=int, default=0)
+    parser.add_argument("--fine_variant", default="from-coarse",
+                        choices=("from-static", "from-coarse"),
+                        help="which stage-3 variant feeds stage 5")
     args = parser.parse_args(argv)
     cfg = extract_config(args)
     backend = cfg.render.backend
@@ -222,7 +230,131 @@ def main(argv=None):
         CONSOLE.print("[multi] stage 2 complete (--through_coarse)")
         return 0
 
-    # ---- stages 3-6: per scene via the resumable pipeline ----
+    # ---- stage 3: fine_obj — BOTH variants of every video as lockstep
+    # lanes on the scene axis (the reference runs the two variants
+    # sequentially per video, fine_obj.py:49-61; the 2V lane runs are
+    # independent, so they share one lockstep). Artifacts land exactly
+    # where run_pipeline(resume=True)'s stage-3 gate looks, so the final
+    # per-video pass below skips straight to interpolation + eval. ----
+    import numpy as np
+
+    from egogaussian_tpu.models.pose import (
+        interpolate_pose_sequence,
+        load_pose_sequence,
+        save_pose_sequence,
+    )
+    from egogaussian_tpu.parallel.scene_trainer import (
+        FineAllSceneInput,
+        FineSceneInput,
+        train_fine_all_scenes,
+        train_fine_scenes,
+    )
+
+    variants = ("from-static", "from-coarse")
+    dynamic_groups_all = []
+    for i, scene in enumerate(scenes):
+        training, _, _, _, dy_ph = splits[i]
+        dynamic_groups_all.append(
+            split_viewpoints_by_phase(scene.cameras, dy_ph, training)
+        )
+
+    fine_done = args.resume and all(
+        os.path.exists(os.path.join(o, "fine_obj", v, "gaussians_fine.ply"))
+        and os.path.exists(
+            os.path.join(o, "fine_obj", v, "obj_pose_sequence.npz"))
+        for o in outs for v in variants
+    )
+    lanes_fit = (2 * len(scenes)) % n_scene == 0
+    if fine_done:
+        CONSOLE.log("[multi] resume: fine_obj artifacts found for all scenes")
+    elif not lanes_fit:
+        CONSOLE.log(
+            f"[multi] fine_obj lanes (2x{len(scenes)}) not divisible by "
+            f"scene axis {n_scene} — stages 3-5 fall back to per-video runs"
+        )
+    else:
+        lanes = []
+        for i, scene in enumerate(scenes):
+            ext = scene.cameras_extent
+            seq, _ = load_pose_sequence(
+                os.path.join(outs[i], "coarse", "obj_pose_sequence.npz"))
+            for variant, ply in (
+                ("from-static", os.path.join(
+                    outs[i], "static", "ply", "static_phase0_obj.ply")),
+                ("from-coarse", os.path.join(
+                    outs[i], "coarse", "ply", "gaussians_final.ply")),
+            ):
+                base = load_ply(ply, is_object=True, spatial_lr_scale=ext)
+                lanes.append(FineSceneInput(
+                    cameras=scene.cameras, obj_model=base, pose_seq=seq,
+                    static_phase_frames=static_groups_all[i],
+                    dynamic_phase_frames=dynamic_groups_all[i],
+                    cameras_extent=ext,
+                    save_dir=os.path.join(outs[i], "fine_obj", variant),
+                    seed=args.seed + i,
+                ))
+        CONSOLE.print(f"[multi] stage 3: {len(lanes)} fine_obj lanes lockstep")
+        train_fine_scenes(lanes, cfg, mesh, backend=backend)
+
+    # ---- stages 4+5: interpolate (host-side, exactly run_pipeline's
+    # stage 4 for the chosen variant) + fine_all lockstep ----
+    fine_all_done = args.resume and all(
+        os.path.exists(os.path.join(o, "fine_all", "gaussians_all.ply"))
+        for o in outs
+    )
+    variant = args.fine_variant
+    fine_ready = all(
+        os.path.exists(
+            os.path.join(o, "fine_obj", variant, "gaussians_fine.ply"))
+        for o in outs
+    )
+    if fine_all_done:
+        CONSOLE.log("[multi] resume: fine_all artifacts found for all scenes")
+    elif len(scenes) % n_scene == 0 and fine_ready:
+        fa_inputs = []
+        for i, scene in enumerate(scenes):
+            ext = scene.cameras_extent
+            fdir = os.path.join(outs[i], "fine_obj", variant)
+            seq_v, _ = load_pose_sequence(
+                os.path.join(fdir, "obj_pose_sequence.npz"))
+            dyn_mask = np.zeros(len(scene.cameras), bool)
+            for g in dynamic_groups_all[i]:
+                dyn_mask[np.asarray(g, int)] = True
+            dyn_mask |= np.asarray(seq_v.solved)
+            interp = interpolate_pose_sequence(seq_v, dyn_mask)
+            idir = os.path.join(
+                outs[i], f"interpolate_pose_{variant.replace('from-', '')}")
+            os.makedirs(idir, exist_ok=True)
+            save_pose_sequence(
+                os.path.join(idir, "obj_pose_sequence.npz"), interp,
+                [c.image_name for c in scene.cameras],
+            )
+            obj_f = load_ply(os.path.join(fdir, "gaussians_fine.ply"),
+                             is_object=True, spatial_lr_scale=ext)
+            bg_m = load_ply(
+                os.path.join(outs[i], "background", "static_bg.ply"),
+                force_bg=True, spatial_lr_scale=ext,
+            )
+            fa_inputs.append(FineAllSceneInput(
+                cameras=scene.cameras, obj_model=obj_f, bg_model=bg_m,
+                pose_seq=interp,
+                static_phase_frames=static_groups_all[i],
+                dynamic_phase_frames=dynamic_groups_all[i],
+                save_dir=os.path.join(outs[i], "fine_all"),
+                seed=args.seed + i,
+            ))
+        CONSOLE.print(
+            f"[multi] stage 5: {len(fa_inputs)} fine_all scenes lockstep")
+        train_fine_all_scenes(fa_inputs, cfg, mesh, backend=backend)
+    elif len(scenes) % n_scene:
+        CONSOLE.log(
+            f"[multi] fine_all: {len(scenes)} scenes not divisible by scene "
+            f"axis {n_scene} — falling back to per-video runs"
+        )
+
+    # ---- remaining per-video stitching (interpolation for the unchosen
+    # variant + stage 6 eval; any stage whose lockstep was skipped above
+    # trains here) via the resumable pipeline ----
     from egogaussian_tpu.pipeline import run_pipeline
 
     for i, scene in enumerate(scenes):
@@ -234,6 +366,7 @@ def main(argv=None):
             static_eval_frames=st_eval, static_phases=st_ph,
             dynamic_phases=dy_ph, seed=args.seed + i,
             backend=backend, resume=True,
+            fine_variant=args.fine_variant,
             checkpoint_every=args.checkpoint_every,
         )
     return 0

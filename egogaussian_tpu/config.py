@@ -183,6 +183,18 @@ class RenderParams:
     pairs_per_gaussian: int = 16
 
 
+@dataclasses.dataclass(frozen=True)
+class LogParams:
+    """TPU-build additions: experiment-metrics sinks. The reference logs to
+    wandb unconditionally from every trainer (trainers/train_static.py:54,
+    112); here the JSONL MetricsLogger is always on (under
+    <model_path>/logs) and wandb is an optional mirror — enable with
+    --use_wandb when the package + credentials are available."""
+
+    use_wandb: bool = False
+    wandb_project: str = "egogaussian_tpu"
+
+
 @dataclasses.dataclass
 class Config:
     model: ModelParams = dataclasses.field(default_factory=ModelParams)
@@ -194,6 +206,7 @@ class Config:
     fine: FineParams = dataclasses.field(default_factory=FineParams)
     fine_all: FineAllParams = dataclasses.field(default_factory=FineAllParams)
     render: RenderParams = dataclasses.field(default_factory=RenderParams)
+    log: LogParams = dataclasses.field(default_factory=LogParams)
 
 
 _GROUP_PREFIX = {

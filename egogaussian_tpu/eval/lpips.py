@@ -11,11 +11,24 @@ row 17); this module is the framework's own implementation:
 
 Weights are DATA, not code: this image has no network egress and no cached
 torchvision/LPIPS checkpoints, so calibrated weights must be supplied as an
-.npz (see `convert_torch_lpips` for the converter from the standard
-torchvision VGG16 + LPIPS linear checkpoints). Without weights the class
-can run with He-initialized features (`allow_random=True`) — useful for
-pipeline plumbing tests, clearly NOT a calibrated perceptual metric — or
-raise, which is the default.
+.npz. One-flag recipe for a user who has the standard upstream files:
+
+  1. torchvision VGG16: `vgg16-397923af.pth`
+     (https://download.pytorch.org/models/ — the 397923af in the filename
+     IS the torchvision SHA256 prefix; torch.hub verifies it on download)
+  2. LPIPS v0.1 VGG linear heads: `lpips/weights/v0.1/vgg.pth` from
+     richzhang/PerceptualSimilarity (keys lin0..lin4 -> model.1.weight)
+  3. `convert_torch_lpips(torch.load(vgg)["features.*"], torch.load(lpips),
+     "lpips_vgg.npz")` — round-trip-tested against the torch reference in
+     tests/test_eval.py (test_lpips_converter_roundtrip)
+  4. `cli/train ... --lpips_weights lpips_vgg.npz` (or pass
+     `lpips_fn=LPIPS(load_lpips_weights(path))` to run_pipeline) — the
+     LPIPS row then appears in evaluation/results.txt; without weights the
+     row reads "unavailable" instead of being silently omitted.
+
+Without weights the class can run with He-initialized features
+(`allow_random=True`) — useful for pipeline plumbing tests, clearly NOT a
+calibrated perceptual metric — or raise, which is the default.
 """
 from __future__ import annotations
 

@@ -136,6 +136,14 @@ def calculate_metric(
                 f.write(f"  PSNR : {m.get('psnr', float('nan')):.7f}\n")
                 if "lpips" in m:
                     f.write(f"  LPIPS: {m['lpips']:.7f}\n")
+                else:
+                    # explicit, not silent: the reference protocol's third
+                    # metric needs pretrained VGG16+LPIPS weights this
+                    # environment cannot download (eval/lpips.py documents
+                    # the one-flag path for users who have them)
+                    f.write("  LPIPS: unavailable (no pretrained weights; "
+                            "pass --lpips_weights <npz> — see "
+                            "eval/lpips.py)\n")
     return results
 
 

@@ -99,6 +99,31 @@ def run_pipeline(
     dynamic_groups = split_viewpoints_by_phase(cameras, dynamic_phases, training_frames)
     os.makedirs(save_dir, exist_ok=True)
 
+    # experiment metrics: JSONL always (under <save_dir>/logs), wandb mirror
+    # when cfg.log.use_wandb (reference wandb usage: train_static.py:54,112)
+    from egogaussian_tpu.utils.logging import MetricsLogger, active_logger
+
+    metrics_logger = MetricsLogger(
+        log_dir=os.path.join(save_dir, "logs"),
+        use_wandb=cfg.log.use_wandb,
+        project=cfg.log.wandb_project,
+        run_name=os.path.basename(os.path.normpath(save_dir)),
+    )
+    with active_logger(metrics_logger):
+        return _run_pipeline_stages(
+            scene, cfg, save_dir, cameras, extent, static_groups,
+            dynamic_groups, training_frames, dynamic_eval_frames,
+            static_eval_frames, seed, backend, resume, lpips_fn,
+            fine_variant, checkpoint_every, mesh,
+        )
+
+
+def _run_pipeline_stages(
+    scene, cfg, save_dir, cameras, extent, static_groups, dynamic_groups,
+    training_frames, dynamic_eval_frames, static_eval_frames, seed, backend,
+    resume, lpips_fn, fine_variant, checkpoint_every, mesh,
+) -> PipelineResult:
+
     # ---- Stage 1.0: static phases (EVERY phase, re-initialized per phase —
     # reference train.py:69 + trainers/train_static.py:52; the object model
     # passed downstream is phase 0's, but the predicted object masks come

@@ -878,7 +878,17 @@ def _prefix_prod_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _mxu_v(blk, d: int):
+    """[d+2, 128] value matrix of one transposed chunk: rows = colors,
+    ones, depth. One MXU matmul against it accumulates image/alpha/depth
+    (forward) or forms dL/dw (backward) in a single pass instead of d+2
+    cross-lane reductions / broadcast-FMAs on the VPU."""
+    ones = jnp.ones((1, _CHUNK), blk.dtype)
+    return jnp.concatenate([blk[6:6 + d], ones, blk[6 + d:7 + d]], axis=0)
+
+
 def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
+                         mxu_accum: bool,
                          meta_ref,
                          vals_ref, bg_ref,
                          img_ref, alpha_ref, depth_ref,
@@ -886,7 +896,10 @@ def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
     """meta [3, T] i32: (chunk-start slot, pair count, n-fit-slots bcast).
     vals [n_slots, ch16, 128] stays in HBM; the tile's chunk run is
     streamed through an inner emit_pipeline. Transmittance is carried in
-    LINEAR space (see _prefix_prod_lanes)."""
+    LINEAR space (see _prefix_prod_lanes). mxu_accum=True accumulates
+    img/alpha/depth with one [P,128]x[128,d+2] MXU matmul per chunk
+    (HIGHEST precision) instead of d+2 VPU lane reductions — identical
+    math up to f32 reassociation."""
     t = pl.program_id(0)
     ch16 = vals_ref.shape[1]
     start_slot = meta_ref[0, t]
@@ -912,15 +925,25 @@ def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
             [jnp.ones((incl.shape[0], 1), incl.dtype), incl[:, :-1]], axis=1
         )
         w = alpha * (T_carry[...] * excl)  # [P, 128]
-        acc_img[...] += jnp.concatenate(
-            [
-                jnp.sum(w * blk[6 + j:7 + j], axis=1, keepdims=True)
-                for j in range(d)
-            ],
-            axis=1,
-        )
-        acc_a[...] += jnp.sum(w, axis=1, keepdims=True)
-        acc_d[...] += jnp.sum(w * blk[6 + d:7 + d], axis=1, keepdims=True)
+        if mxu_accum:
+            acc = jax.lax.dot_general(
+                w, _mxu_v(blk, d), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [P, d+2] = (img | alpha | depth)
+            acc_img[...] += acc[:, :d]
+            acc_a[...] += acc[:, d:d + 1]
+            acc_d[...] += acc[:, d + 1:d + 2]
+        else:
+            acc_img[...] += jnp.concatenate(
+                [
+                    jnp.sum(w * blk[6 + j:7 + j], axis=1, keepdims=True)
+                    for j in range(d)
+                ],
+                axis=1,
+            )
+            acc_a[...] += jnp.sum(w, axis=1, keepdims=True)
+            acc_d[...] += jnp.sum(w * blk[6 + d:7 + d], axis=1, keepdims=True)
         T_carry[...] = T_carry[...] * incl[:, _CHUNK - 1:]
 
     if use_pipeline:
@@ -959,7 +982,7 @@ def _tilegrid_fwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
 
 
 def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
-                         exact_total: bool,
+                         exact_total: bool, mxu_accum: bool,
                          meta_ref,
                          vals_ref, bg_ref,
                          img_ref, alpha_ref, depth_ref,
@@ -1001,6 +1024,9 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
     gdepth = gdepth_ref[0]  # [P, 1]
     bg = bg_ref[0, :]  # [D]
     g_dot_bg = jnp.sum(gimg * bg[None, :], axis=-1, keepdims=True)  # [P,1]
+    # cotangent matrix for the MXU dld/dcol path (chunk-independent):
+    # columns ordered like _mxu_v's rows (colors | ones->alpha | depth)
+    G = jnp.concatenate([gimg, galpha, gdepth], axis=1)  # [P, d+2]
 
     def accum_chunk(blk, i):
         """Shared value-path of both sweeps: advance (T_carry, carry_wd)
@@ -1014,9 +1040,16 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
         )
         T_excl = T_carry[...] * excl
         w = alpha * T_excl
-        dld = blk[6 + d:7 + d] * gdepth + galpha  # [P, 128]
-        for jj in range(d):
-            dld = dld + blk[6 + jj:7 + jj] * gimg[:, jj:jj + 1]
+        if mxu_accum:
+            dld = jax.lax.dot_general(
+                G, _mxu_v(blk, d), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [P, 128]
+        else:
+            dld = blk[6 + d:7 + d] * gdepth + galpha  # [P, 128]
+            for jj in range(d):
+                dld = dld + blk[6 + jj:7 + jj] * gimg[:, jj:jj + 1]
         wd = w * dld
         pre_wd = _prefix_scan_lanes(wd) + carry_wd[...]  # inclusive prefix
         T_carry[...] = T_carry[...] * incl[:, _CHUNK - 1:]
@@ -1096,11 +1129,20 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
         dc = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
         dop = jnp.sum(jnp.exp(power) * dalpha, axis=0, keepdims=True)
         dop = jnp.where(lane_ok, dop, 0.0)
-        dcols = [
-            jnp.sum(w * gimg[:, jj:jj + 1], axis=0, keepdims=True)
-            for jj in range(d)
-        ]
-        dz = jnp.sum(w * gdepth, axis=0, keepdims=True)
+        if mxu_accum:
+            wg = jax.lax.dot_general(
+                G, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [d+2, 128]: rows = dcol_0..dcol_{d-1}, (unused), dz
+            dcols = [wg[jj:jj + 1] for jj in range(d)]
+            dz = wg[d + 1:d + 2]
+        else:
+            dcols = [
+                jnp.sum(w * gimg[:, jj:jj + 1], axis=0, keepdims=True)
+                for jj in range(d)
+            ]
+            dz = jnp.sum(w * gdepth, axis=0, keepdims=True)
         rows = [dmu_x, dmu_y, da, db, dc, dop] + dcols + [dz]
         n_pad = ch16 - (7 + d)
         # d=1 (label render) has ch16 == 7+d: Mosaic rejects zero-sized
@@ -1162,7 +1204,8 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
 @functools.lru_cache(maxsize=None)
 def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
                              n_tx: int, interpret: bool = False,
-                             exact_total: bool = False):
+                             exact_total: bool = False,
+                             mxu_accum: bool = False):
     """Build the tile-grid compositor (grid over tiles, inner emit_pipeline
     over each tile's chunk run). `exact_total` selects the two-sweep
     backward (see _tilegrid_bwd_kernel). Interface:
@@ -1187,7 +1230,8 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
                             memory_space=pltpu.VMEM)
 
     fwd_call = pl.pallas_call(
-        functools.partial(_tilegrid_fwd_kernel, n_tx, ts, d, not interpret),
+        functools.partial(_tilegrid_fwd_kernel, n_tx, ts, d, not interpret,
+                          mxu_accum),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -1211,7 +1255,7 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
 
     bwd_call = pl.pallas_call(
         functools.partial(_tilegrid_bwd_kernel, n_tx, ts, d, not interpret,
-                          exact_total),
+                          exact_total, mxu_accum),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),

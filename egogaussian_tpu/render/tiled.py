@@ -56,6 +56,12 @@ class TileConfig:
     # rounding amplified by the 1/(1-alpha) factor). ~+40% bwd kernel
     # time; independent implementation used for cross-verification.
     bwd_exact_total: bool = False
+    # tilegrid accumulation flavor: True routes the per-chunk
+    # image/alpha/depth accumulation (fwd) and dL/dw + dcol/dz formation
+    # (bwd) through single HIGHEST-precision MXU matmuls instead of d+2
+    # VPU lane reductions / broadcast-FMAs. Same math up to f32
+    # reassociation (equivalence-tested).
+    mxu_accum: bool = False
 
 
 def _default_config(
@@ -594,6 +600,7 @@ def composite_pallas(
         compositor = make_tilegrid_compositor(
             n_slots, n_tiles, d, ts, n_tx, interpret=interpret,
             exact_total=config.bwd_exact_total,
+            mxu_accum=config.mxu_accum,
         )
     else:
         t_q = stream(jnp.arange(n_tiles, dtype=jnp.int32))

@@ -72,6 +72,7 @@ from egogaussian_tpu.train.static import (
     _reset_opacity_jit,
 )
 from egogaussian_tpu.utils.console import CONSOLE
+from egogaussian_tpu.utils.logging import log_metrics
 
 
 def _pose_core(
@@ -263,6 +264,7 @@ def coarse_step(
     train_pose: bool,
     first_frame: bool,
     grad_params: bool,
+    count_advance=0,
     opt_cfg=None,
     coarse_cfg=None,
     backend: str = "tiled",
@@ -277,13 +279,15 @@ def coarse_step(
         model, opt_state, pose, pose_opt_state, batch, cam_idx, table_T,
         table_R, fixed_idx, it, drop_max, train_pose, first_frame,
         grad_params, opt_cfg, coarse_cfg, backend, tile_config,
+        count_advance=count_advance,
     )
 
 
 def _coarse_body(model, opt_state, pose, pose_opt_state, batch, cam_idx,
                  table_T, table_R, fixed_idx, it, drop_max, train_pose,
                  first_frame, grad_params, opt_cfg, coarse_cfg, backend,
-                 tile_config, param_grad_gate=None, xyz_lr_mult=None):
+                 tile_config, param_grad_gate=None, xyz_lr_mult=None,
+                 count_advance=None):
     """Shared body of `coarse_step` (static flags) and `coarse_step_traced`
     (per-scene traced flags for the multi-scene lockstep).
 
@@ -291,8 +295,20 @@ def _coarse_body(model, opt_state, pose, pose_opt_state, batch, cam_idx,
     LR tree is linear in the STATIC spatial_lr_scale, so scenes with
     different nerf++ extents share one compilation by training at
     spatial_lr_scale=1 with their extent expressed here (exactly like
-    multi_scene_static_step)."""
+    multi_scene_static_step).
+
+    `count_advance` (traced scalar, optional): advance the parameter Adam
+    step count by this many extra steps before the update — the bit-exact
+    residue of elided warm-up no-op iterations (see estimate_coarse_obj_pose:
+    an adam_update with zero grads on zero moments changes NOTHING but the
+    count, so k skipped steps fold into count += k here, keeping the hot
+    loop at one dispatch per REAL step)."""
     cp = coarse_cfg
+    if count_advance is not None:
+        opt_state = dataclasses.replace(
+            opt_state,
+            count=opt_state.count + jnp.asarray(count_advance, jnp.int32),
+        )
     lr_tree = _coarse_lr_tree(model, it, opt_cfg, cp, first_frame)
     if xyz_lr_mult is not None:
         lr_tree = dataclasses.replace(
@@ -385,6 +401,7 @@ def estimate_coarse_obj_pose(
     seed: int = 0,
     backend: str = "auto",
     checkpoint_every: int = 0,
+    skip_noop_warmup: bool = True,
 ) -> Tuple[PoseSequence, GaussianModel, Dict[int, str]]:
     """Stage 2. Returns (pose_sequence over all cameras, refined object
     model, {camera_index: image_name} for solved frames).
@@ -476,6 +493,8 @@ def estimate_coarse_obj_pose(
             first_frame = i == 0
             is_last = i == len(frames) - 1
             next_static = static_phase_frames[phase + 1]
+            pending_noop = 0  # elided no-op iterations (see below)
+            loss = jnp.float32(np.nan)
 
             for it in range(1, cp.total_num_iter + 1):
                 # --- frame selection (coarse_obj_pose.py:196-222) ---
@@ -492,6 +511,24 @@ def estimate_coarse_obj_pose(
                     cam_idx = pool[rng.choice(len(pool), p=weights)]
                     train_p = False
 
+                # Warm-up previous-frame iterations of non-first frames are
+                # EXACT no-ops: train_pose=False where-gates the pose AND
+                # its Adam state, grad_params=False yields all-zero param
+                # grads onto all-zero moments (fresh Adam per frame — only
+                # the step count advances), and record_stats is False inside
+                # the warm-up so densify stats don't move either. The
+                # reference pays a full render+backward for each
+                # (coarse_obj_pose.py:196-222 with :178-193's zeroed LRs);
+                # here they are elided and their Adam count advance folds
+                # into the next real step (count_advance) — bit-exact,
+                # enforced by tests/test_coarse_noop_skip.py. This removes
+                # ~curr_vpt_prob-complement of warm-up ≈ 40% of ALL coarse
+                # iterations from the device.
+                if (skip_noop_warmup and not first_frame and not train_p
+                        and it < cp.warm_up_iter):
+                    pending_noop += 1
+                    continue
+
                 fixed_idx = (f_cur - 1) if train_p else cam_idx
                 model, opt_state, pose, pose_opt, loss, radii, drop_max = coarse_step(
                     model, opt_state, pose, pose_opt, batch,
@@ -499,11 +536,13 @@ def estimate_coarse_obj_pose(
                     train_pose=train_p,
                     first_frame=first_frame,
                     grad_params=first_frame or it >= cp.warm_up_iter,
+                    count_advance=np.int32(pending_noop),
                     opt_cfg=cfg.opt,
                     coarse_cfg=cp,
                     backend=backend,
                     tile_config=tile_cfg,
                 )
+                pending_noop = 0
 
                 if it % cp.densification_interval == 0:
                     from egogaussian_tpu.train.common import (
@@ -516,6 +555,11 @@ def estimate_coarse_obj_pose(
                     )
                     if changed:
                         drop_max, last_drop = jnp.int32(0), 0
+                    log_metrics(
+                        "coarse", it, frame=f_cur, loss=loss,
+                        alive=model.num_alive, capacity=model.capacity,
+                        dropped_pairs=drop_max,
+                    )
 
                 # --- densification window (coarse_obj_pose.py:324-337) ---
                 if it < cp.densify_until_iter and it > cp.densify_from_iter:

@@ -35,6 +35,7 @@ from egogaussian_tpu.train.common import (
 from egogaussian_tpu.models.densify import reset_opacity
 from egogaussian_tpu.train.static import _log_dropped_pairs
 from egogaussian_tpu.utils.console import CONSOLE
+from egogaussian_tpu.utils.logging import log_metrics
 
 
 def _fine_all_body(
@@ -200,6 +201,10 @@ def fine_tune_all(
             )
             if changed:
                 drop_max, last_drop = jnp.int32(0), 0
+            log_metrics(
+                "fine_all", it, loss=loss, alive=model.num_alive,
+                capacity=model.capacity, dropped_pairs=drop_max,
+            )
         ckpt.maybe_save(
             it, (model, opt_state), rng, jax.random.PRNGKey(0)
         )

@@ -44,6 +44,7 @@ from egogaussian_tpu.train.static import (
     _reset_opacity_jit,
 )
 from egogaussian_tpu.utils.console import CONSOLE
+from egogaussian_tpu.utils.logging import log_metrics
 
 
 def _fine_lr_tree(model, it, opt, divide_3dgs: float = 5.0):
@@ -241,6 +242,10 @@ def fine_tune_obj(
             )
             if changed:
                 drop_max, last_drop = jnp.int32(0), 0
+            log_metrics(
+                "fine_obj", it, loss=loss, alive=model.num_alive,
+                capacity=model.capacity, dropped_pairs=drop_max,
+            )
         if it < fp.densify_until_iter and it > fp.densify_from_iter:
             if it % fp.densification_interval == 0:
                 size_threshold = 20.0 if it > fp.opacity_reset_interval else None

@@ -60,6 +60,7 @@ from egogaussian_tpu.train.common import (
     render_label_image,
 )
 from egogaussian_tpu.utils.console import CONSOLE
+from egogaussian_tpu.utils.logging import log_metrics
 
 
 # frame batches up to this size are unrolled in the step graph instead of
@@ -555,6 +556,11 @@ def train_static(
                 )
                 if changed:  # new baseline: re-arm the running-max counter
                     drop_max, last_drop = jnp.int32(0), 0
+                log_metrics(
+                    "static", it, phase=phase, mode=mode, loss=loss,
+                    alive=model.num_alive, capacity=model.capacity,
+                    dropped_pairs=drop_max,
+                )
 
             # densification schedule (train_static.py:125-133)
             if it <= sp.densify_until_iter:
@@ -737,6 +743,10 @@ def train_background(
             )
             if changed:
                 drop_max, last_drop = jnp.int32(0), 0
+            log_metrics(
+                "bg", it, mode=mode, loss=loss, alive=model.num_alive,
+                capacity=model.capacity, dropped_pairs=drop_max,
+            )
         if it <= bp.densify_until_iter:
             if it > bp.densify_from_iter and it % opt_cfg.densification_interval == 0:
                 size_threshold = 20.0 if it > opt_cfg.opacity_reset_interval else None

@@ -63,6 +63,49 @@ class MetricsLogger:
             self._wandb = None
 
 
+# ---------------------------------------------------------------------------
+# Active-logger handle: run_pipeline (or any driver) installs a MetricsLogger
+# once; stage trainers emit through log_metrics() at their existing
+# host-sync boundaries (densify/checkpoint intervals) so the training loop's
+# one-async-dispatch invariant is untouched. The reference logs to wandb
+# every iteration from every trainer (trainers/train_static.py:54,112,
+# coarse_obj_pose.py:143,264-309); per-iteration host syncs over the remote
+# TPU tunnel cost more than the step itself, so the cadence here is the
+# interval cadence — same curves, decimated.
+# ---------------------------------------------------------------------------
+_ACTIVE: Optional[MetricsLogger] = None
+
+
+def set_active_logger(logger: Optional[MetricsLogger]) -> None:
+    global _ACTIVE
+    if _ACTIVE is not None and logger is not _ACTIVE:
+        _ACTIVE.flush()
+    _ACTIVE = logger
+
+
+def get_active_logger() -> Optional[MetricsLogger]:
+    return _ACTIVE
+
+
+def log_metrics(stage: str, step: int, **metrics: Any) -> None:
+    """Emit stage metrics through the active logger (no-op when none is
+    installed). Values may be device scalars — conversion happens here, so
+    call this ONLY at host-sync boundaries."""
+    if _ACTIVE is not None:
+        _ACTIVE.log(step, stage=stage, **metrics)
+
+
+@contextlib.contextmanager
+def active_logger(logger: MetricsLogger):
+    """Install `logger` for the enclosed region and close it after."""
+    set_active_logger(logger)
+    try:
+        yield logger
+    finally:
+        set_active_logger(None)
+        logger.close()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace of the enclosed region (view with TensorBoard or

@@ -23,31 +23,34 @@ def drive_config():
     from egogaussian_tpu.config import Config
 
     cfg = Config()
+    # long enough that eval PSNR reflects code health, not schedule
+    # starvation (a 200-iter static stage renders a near-black heldout
+    # view at this scale — observed in the first drive attempt)
     cfg.static = dataclasses.replace(
-        cfg.static, std_train_iter=120, entropy_reg_iter=30,
-        label_train_iter=50, densify_from_iter=16, densify_until_iter=40,
+        cfg.static, std_train_iter=300, entropy_reg_iter=60,
+        label_train_iter=60, densify_from_iter=20, densify_until_iter=200,
         rewind_frames=3, label_lr=0.05,
     )
     cfg.static_bg = dataclasses.replace(
-        cfg.static_bg, std_train_iter=120, entropy_reg_iter=30,
-        densify_from_iter=16, densify_until_iter=40,
+        cfg.static_bg, std_train_iter=300, entropy_reg_iter=60,
+        densify_from_iter=20, densify_until_iter=200,
     )
     cfg.opt = dataclasses.replace(
-        cfg.opt, densification_interval=20, opacity_reset_interval=2000,
+        cfg.opt, densification_interval=25, opacity_reset_interval=2000,
     )
     cfg.coarse = dataclasses.replace(
-        cfg.coarse, warm_up_iter=60, total_num_iter=80,
-        densify_from_iter=64, densify_until_iter=76,
-        densification_interval=8, opacity_reset_interval=2000,
+        cfg.coarse, warm_up_iter=150, total_num_iter=220,
+        densify_from_iter=160, densify_until_iter=200,
+        densification_interval=20, opacity_reset_interval=2000,
     )
     cfg.fine = dataclasses.replace(
-        cfg.fine, total_num_iter=60, densify_from_iter=10,
-        densify_until_iter=40, densification_interval=20,
+        cfg.fine, total_num_iter=150, densify_from_iter=20,
+        densify_until_iter=100, densification_interval=25,
         opacity_reset_interval=2000,
     )
     cfg.fine_all = dataclasses.replace(
-        cfg.fine_all, total_num_iter=50, densify_from_iter=10,
-        densify_until_iter=20, opacity_reset_interval=14,
+        cfg.fine_all, total_num_iter=150, densify_from_iter=10,
+        densify_until_iter=50, opacity_reset_interval=40,
     )
     return cfg
 

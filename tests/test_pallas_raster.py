@@ -19,9 +19,12 @@ CFG = TileConfig(max_per_tile=256, max_pairs=8192, tile_size=16)
 
 class TestPallasForward:
     @pytest.mark.parametrize("n", [1, 60])
-    @pytest.mark.parametrize("comp", ["stream", "tilegrid"])
+    @pytest.mark.parametrize("comp", ["stream", "tilegrid", "tilegrid-mxu"])
     def test_matches_oracle(self, n, comp):
-        cfg = dataclasses.replace(CFG, compositor=comp)
+        cfg = dataclasses.replace(
+            CFG, compositor=comp.split("-")[0],
+            mxu_accum=comp.endswith("mxu"),
+        )
         cam = make_camera(width=48, height=32)
         means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(11), n)
         a = render(cam, means, cov3d, ops, jnp.array([0.2, 0.1, 0.4]),
@@ -44,9 +47,15 @@ class TestPallasForward:
 
 
 class TestPallasBackward:
-    @pytest.mark.parametrize("comp", ["stream", "tilegrid"])
+    @pytest.mark.parametrize("comp", ["stream", "tilegrid", "tilegrid-mxu"])
     def test_grads_match_tiled(self, comp):
-        cfg = dataclasses.replace(CFG, compositor=comp)
+        # "tilegrid-mxu": the MXU-matmul accumulation flavor
+        # (TileConfig.mxu_accum) must match everything else too — same
+        # math, different accumulation engine/order
+        cfg = dataclasses.replace(
+            CFG, compositor=comp.split("-")[0],
+            mxu_accum=comp.endswith("mxu"),
+        )
         cam = make_camera(width=32, height=32)
         means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(14), 40)
         target = jax.random.uniform(jax.random.PRNGKey(15), (3, 32, 32))

@@ -525,6 +525,46 @@ class TestMidStageCheckpoint:
             atol=1e-5,
         )
 
+    def test_coarse_noop_skip_is_bit_exact(self, video):
+        """The warm-up no-op elision (estimate_coarse_obj_pose's
+        skip_noop_warmup, default True) must change NOTHING: with
+        train_pose=False the pose and its Adam state are where-gated, with
+        grad_params=False the parameter grads are zero onto zero moments
+        (fresh Adam per frame), and record_stats is False inside warm-up —
+        so an elided iteration's only residue is the Adam step count, which
+        folds into the next real step via count_advance. Bitwise-equal
+        outputs, not allclose."""
+        from egogaussian_tpu.train.coarse_pose import estimate_coarse_obj_pose
+
+        cfg = tiny_config()
+        static_groups = split_viewpoints_by_phase(
+            video.cameras, video.static_phases
+        )
+        dynamic_groups = split_viewpoints_by_phase(
+            video.cameras, video.dynamic_phases
+        )
+        obj = gt_object_model(video, capacity=128)
+
+        seq_ref, m_ref, solved_ref = estimate_coarse_obj_pose(
+            video.cameras, obj, cfg, static_groups, dynamic_groups, 4.0,
+            skip_noop_warmup=False,
+        )
+        seq_skip, m_skip, solved_skip = estimate_coarse_obj_pose(
+            video.cameras, obj, cfg, static_groups, dynamic_groups, 4.0,
+            skip_noop_warmup=True,
+        )
+        assert solved_skip == solved_ref
+        for name in ("translations", "rotations", "solved"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seq_skip, name)),
+                np.asarray(getattr(seq_ref, name)), err_msg=name,
+            )
+        for f in dataclasses.fields(m_ref.params):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(m_skip.params, f.name)),
+                np.asarray(getattr(m_ref.params, f.name)), err_msg=f.name,
+            )
+
     def test_fine_obj_resume_reproduces_run(self, video, tmp_path):
         from egogaussian_tpu.models.pose import empty_pose_sequence, identity_pose
         from egogaussian_tpu.train.fine_obj import fine_tune_obj
