@@ -54,9 +54,8 @@ def _build_layout(proj: ProjectedGaussians, colors, opacities, width, height,
     returns (meta, vals, aux dict). Kept in sync with
     render/tiled.py:composite_pallas — intentionally a second copy so the
     production path and the checker cannot share a bug silently."""
-    order, g_sorted, _, starts, tile_cnt, dropped, (n_tx, n_ty) = bin_pairs(
-        proj, width, height, config, opacities=opacities
-    )
+    order, g_sorted, tile_sorted, starts, tile_cnt, dropped, (n_tx, n_ty) = \
+        bin_pairs(proj, width, height, config, opacities=opacities)
     n_tiles = n_tx * n_ty
     sc = config.max_slots or config.max_pairs
     sc = -(-sc // _CHUNK) * _CHUNK
@@ -69,25 +68,48 @@ def _build_layout(proj: ProjectedGaussians, colors, opacities, width, height,
          proj.depths[:, None]], axis=1,
     )[order]
 
-    def stream(vals_t):
-        buf = jnp.zeros((sc,), jnp.int32).at[starts2].max(vals_t, mode="drop")
-        return jax.lax.cummax(buf)
-
-    q = jnp.arange(sc, dtype=jnp.int32)
-    a_q = stream(starts)
-    b_q = stream(starts2)
-    p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
-    vals_flat = packed[g_sorted[p_q]]
     fit_slots = jnp.sum(jnp.where(overflowed, 0, padded_cnt)) // _CHUNK
     meta = jnp.stack([
         jnp.where(overflowed, 0, starts2 // _CHUNK),
         jnp.where(overflowed, 0, tile_cnt),
         jnp.broadcast_to(fit_slots, (n_tiles,)),
     ])
-    ch = vals_flat.shape[-1]
+    # scatter layout: each pair's padded slot q_p = starts2[t] + rank, via
+    # one tiny scatter + [MP, 3] cummax (start / padded start / clamped run
+    # END — the end, unlike the count, is nondecreasing in tile id); padding
+    # slots stay zero rows. Mirrors composite_pallas exactly.
+    ch = packed.shape[-1]
     ch16 = (ch + 7) // 8 * 8
-    vals = jnp.pad(vals_flat, ((0, 0), (0, ch16 - ch))).reshape(
-        n_slots, _CHUNK, ch16).transpose(0, 2, 1)
+    if config.scatter_layout:
+        rows = jnp.pad(packed, ((0, 0), (0, ch16 - ch)))[g_sorted]
+        cols3 = jnp.stack([starts, starts2, starts + tile_cnt], axis=1)
+        st3 = jax.lax.cummax(
+            jnp.zeros((config.max_pairs, 3), jnp.int32).at[starts].max(
+                cols3, mode="drop"),
+            axis=0,
+        )
+        p_idx = jnp.arange(config.max_pairs, dtype=jnp.int32)
+        pair_ok = (tile_sorted < n_tiles) & (p_idx < st3[:, 2])
+        q_p = jnp.where(pair_ok, st3[:, 1] + (p_idx - st3[:, 0]), sc + p_idx)
+        vals = (
+            jnp.zeros((sc, ch16), packed.dtype)
+            .at[q_p].set(rows, mode="drop", unique_indices=True)
+            .reshape(n_slots, _CHUNK, ch16)
+            .transpose(0, 2, 1)
+        )
+    else:
+        def stream(vals_t):
+            buf = jnp.zeros((sc,), jnp.int32).at[starts2].max(
+                vals_t, mode="drop")
+            return jax.lax.cummax(buf)
+
+        q = jnp.arange(sc, dtype=jnp.int32)
+        a_q = stream(starts)
+        b_q = stream(starts2)
+        p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
+        vals = jnp.pad(
+            packed[g_sorted[p_q]], ((0, 0), (0, ch16 - ch))
+        ).reshape(n_slots, _CHUNK, ch16).transpose(0, 2, 1)
     aux = dict(order=order, g_sorted=g_sorted, starts=starts,
                tile_cnt=tile_cnt, dropped=dropped, n_tx=n_tx, n_ty=n_ty,
                packed=packed, ch=ch, ch16=ch16, n_slots=n_slots,

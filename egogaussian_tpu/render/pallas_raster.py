@@ -1005,13 +1005,24 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
 
     Either way the backward needs no residual and no log/exp —
     transmittance is carried forward in linear space exactly like the
-    forward kernel."""
+    forward kernel.
+
+    Pixels are processed in STATIC blocks of <= 256 rows: the backward
+    holds ~15 [P, 128] f32 temporaries live per chunk, which at
+    tile_size=32 (P=1024) is an 18+ MB VMEM stack — past the 16 MB
+    scoped limit (the r4-measured ts=32 blocker). Each pixel row is
+    independent (transmittance runs along the LANE axis), so blocking
+    only reassociates the per-pair f32 reductions; at tile_size<=16 a
+    single block keeps the original op order bit-exactly."""
     t = pl.program_id(0)
     ch16 = vals_ref.shape[1]
     start_slot = meta_ref[0, t]
     cnt = meta_ref[1, t]
     n_chunks = (cnt + _CHUNK - 1) // _CHUNK
     dtype = jnp.float32
+    p = ts * ts
+    pb_rows = min(p, 256)
+    n_pb = p // pb_rows
     px, py = _pixel_coords_col(t, ts, n_tx, dtype)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
 
@@ -1028,39 +1039,42 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
     # columns ordered like _mxu_v's rows (colors | ones->alpha | depth)
     G = jnp.concatenate([gimg, galpha, gdepth], axis=1)  # [P, d+2]
 
-    def accum_chunk(blk, i):
-        """Shared value-path of both sweeps: advance (T_carry, carry_wd)
-        over one chunk and return the per-chunk intermediates."""
+    def block_value(blk, i, lo):
+        """Shared value-path of both sweeps on pixel rows [lo, lo+pb_rows):
+        advance (T_carry, carry_wd) and return the block intermediates."""
+        sl = slice(lo, lo + pb_rows)
         lane_ok = lane_iota + i * _CHUNK < cnt
-        alpha, raw, power, dx, dy = _chunk_alphas_T(blk, px, py, lane_ok)
+        alpha, raw, power, dx, dy = _chunk_alphas_T(
+            blk, px[sl], py[sl], lane_ok)
         one_minus = 1.0 - alpha
         incl = _prefix_prod_lanes(one_minus)
         excl = jnp.concatenate(
             [jnp.ones((incl.shape[0], 1), incl.dtype), incl[:, :-1]], axis=1
         )
-        T_excl = T_carry[...] * excl
+        T_excl = T_carry[sl] * excl
         w = alpha * T_excl
         if mxu_accum:
             dld = jax.lax.dot_general(
-                G, _mxu_v(blk, d), (((1,), (0,)), ((), ())),
+                G[sl], _mxu_v(blk, d), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # [P, 128]
+            )  # [PB, 128]
         else:
-            dld = blk[6 + d:7 + d] * gdepth + galpha  # [P, 128]
+            dld = blk[6 + d:7 + d] * gdepth[sl] + galpha[sl]  # [PB, 128]
             for jj in range(d):
-                dld = dld + blk[6 + jj:7 + jj] * gimg[:, jj:jj + 1]
+                dld = dld + blk[6 + jj:7 + jj] * gimg[sl, jj:jj + 1]
         wd = w * dld
-        pre_wd = _prefix_scan_lanes(wd) + carry_wd[...]  # inclusive prefix
-        T_carry[...] = T_carry[...] * incl[:, _CHUNK - 1:]
-        carry_wd[...] = pre_wd[:, _CHUNK - 1:]
+        pre_wd = _prefix_scan_lanes(wd) + carry_wd[sl]  # inclusive prefix
+        T_carry[sl] = T_carry[sl] * incl[:, _CHUNK - 1:]
+        carry_wd[sl] = pre_wd[:, _CHUNK - 1:]
         return (lane_ok, alpha, raw, power, dx, dy, one_minus, T_excl, w,
                 dld, pre_wd)
 
     if exact_total:
         # ---- sweep 1: values only, same op order as sweep 2 ----
         def pre_process(blk, i):
-            accum_chunk(blk, i)
+            for pb in range(n_pb):
+                block_value(blk, i, pb * pb_rows)
 
         if use_pipeline:
             def pre_body(blk_ref):
@@ -1111,38 +1125,52 @@ def _tilegrid_bwd_kernel(n_tx: int, ts: int, d: int, use_pipeline: bool,
         base_S = T_total * g_dot_bg
 
     def process(blk, i):
-        (lane_ok, alpha, raw, power, dx, dy, one_minus, T_excl, w, dld,
-         pre_wd) = accum_chunk(blk, i)
-        S = (total_wd - pre_wd) + base_S
-        dalpha = T_excl * dld - S / one_minus
-        gate = (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
-        dalpha = jnp.where(gate, dalpha, 0.0)
-        dpower = raw * dalpha
         a, b, cc = blk[2:3], blk[3:4], blk[4:5]
-        ddx = (-(a * dx + b * dy)) * dpower
-        ddy = (-(cc * dy + b * dx)) * dpower
-        # per-pair rows [1, 128]: reductions over pixels (sublanes, axis 0)
-        dmu_x = -jnp.sum(ddx, axis=0, keepdims=True)
-        dmu_y = -jnp.sum(ddy, axis=0, keepdims=True)
-        da = jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)
-        db = jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)
-        dc = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
-        dop = jnp.sum(jnp.exp(power) * dalpha, axis=0, keepdims=True)
+        zrow = jnp.zeros((1, _CHUNK), dtype)
+        dmu_x = dmu_y = da = db = dc = dop = zrow
+        lane_ok = None
+        if mxu_accum:
+            wg = jnp.zeros((d + 2, _CHUNK), dtype)
+        else:
+            dcols = [zrow] * d
+            dz = zrow
+        for pb in range(n_pb):
+            lo = pb * pb_rows
+            sl = slice(lo, lo + pb_rows)
+            (lane_ok, alpha, raw, power, dx, dy, one_minus, T_excl, w, dld,
+             pre_wd) = block_value(blk, i, lo)
+            S = (total_wd[sl] - pre_wd) + base_S[sl]
+            dalpha = T_excl * dld - S / one_minus
+            gate = (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
+            dalpha = jnp.where(gate, dalpha, 0.0)
+            dpower = raw * dalpha
+            ddx = (-(a * dx + b * dy)) * dpower
+            ddy = (-(cc * dy + b * dx)) * dpower
+            # per-pair rows [1,128]: reductions over pixels (sublanes, ax 0)
+            dmu_x = dmu_x - jnp.sum(ddx, axis=0, keepdims=True)
+            dmu_y = dmu_y - jnp.sum(ddy, axis=0, keepdims=True)
+            da = da + jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)
+            db = db + jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)
+            dc = dc + jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
+            dop = dop + jnp.sum(jnp.exp(power) * dalpha, axis=0,
+                                keepdims=True)
+            if mxu_accum:
+                wg = wg + jax.lax.dot_general(
+                    G[sl], w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [d+2, 128]: rows = dcol_0..dcol_{d-1}, (unused), dz
+            else:
+                dcols = [
+                    dcols[jj] + jnp.sum(w * gimg[sl, jj:jj + 1], axis=0,
+                                        keepdims=True)
+                    for jj in range(d)
+                ]
+                dz = dz + jnp.sum(w * gdepth[sl], axis=0, keepdims=True)
         dop = jnp.where(lane_ok, dop, 0.0)
         if mxu_accum:
-            wg = jax.lax.dot_general(
-                G, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [d+2, 128]: rows = dcol_0..dcol_{d-1}, (unused), dz
             dcols = [wg[jj:jj + 1] for jj in range(d)]
             dz = wg[d + 1:d + 2]
-        else:
-            dcols = [
-                jnp.sum(w * gimg[:, jj:jj + 1], axis=0, keepdims=True)
-                for jj in range(d)
-            ]
-            dz = jnp.sum(w * gdepth, axis=0, keepdims=True)
         rows = [dmu_x, dmu_y, da, db, dc, dop] + dcols + [dz]
         n_pad = ch16 - (7 + d)
         # d=1 (label render) has ch16 == 7+d: Mosaic rejects zero-sized
@@ -1221,7 +1249,15 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
     p = ts * ts
     ch16 = _ch16(d)
 
-    vals_spec = pl.BlockSpec(memory_space=pl.ANY)
+    # Pin the flat pair array to HBM explicitly: with memory_space=ANY,
+    # Mosaic places it in VMEM whenever it fits (<16 MB) and then
+    # DOUBLE-BUFFERS it per grid step — at tile_size=32 the [n_slots,16,128]
+    # array is ~9.4 MB, x2 = 18.2 MB > scoped VMEM, which was the r3
+    # "ts=32 infeasible" blocker (val_runs/tile_ab_r3 note in STATUS).
+    # The kernels stream chunks through emit_pipeline themselves, so HBM
+    # residency is always what we want. (interpret mode has no HBM notion.)
+    vals_space = pl.ANY if interpret else pltpu.MemorySpace.HBM
+    vals_spec = pl.BlockSpec(memory_space=vals_space)
     bg_spec = pl.BlockSpec((1, d), lambda t, meta: (0, 0),
                            memory_space=pltpu.VMEM)
 
@@ -1262,7 +1298,7 @@ def make_tilegrid_compositor(n_slots: int, n_tiles: int, d: int, ts: int,
             in_specs=[vals_spec, bg_spec,
                       out_spec(d), out_spec(1), out_spec(1),
                       out_spec(d), out_spec(1), out_spec(1)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=pl.BlockSpec(memory_space=vals_space),
             scratch_shapes=[
                 pltpu.VMEM((p, 1), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),

@@ -62,6 +62,15 @@ class TileConfig:
     # VPU lane reductions / broadcast-FMAs. Same math up to f32
     # reassociation (equivalence-tested).
     mxu_accum: bool = False
+    # tilegrid layout construction: True scatters each pair's row straight
+    # into its padded slot (unique-indices scatter); False reconstructs a
+    # per-slot pair index and double-gathers (vals = packed[g_sorted[p_q]]).
+    # Same layout bit-for-bit; cost profile differs. On-chip 2x2 A/B
+    # (val_runs/layout_ts_ab_r4.jsonl) has the gather chain ahead at both
+    # tile sizes (44.6 vs 41.2 it/s at ts16, 48.3 vs 47.4 at ts32), so
+    # gather stays the default; the scatter path is kept as a tested
+    # fallback (it wins when max_pairs is much larger than max_slots).
+    scatter_layout: bool = False
 
 
 def _default_config(
@@ -530,9 +539,8 @@ def composite_pallas(
     n_tiles0 = (-(-width // ts)) * (-(-height // ts))
     config = _default_config(n, config, n_tiles0)
 
-    order, g_sorted, _, starts, tile_cnt, dropped, (n_tx, n_ty) = bin_pairs(
-        proj, width, height, config, opacities=opacities
-    )
+    order, g_sorted, tile_sorted, starts, tile_cnt, dropped, (n_tx, n_ty) = \
+        bin_pairs(proj, width, height, config, opacities=opacities)
     n_tiles = n_tx * n_ty
     # Two independent static capacities: max_pairs bounds the sorted pair
     # array; sc (= n_slots * _CHUNK) bounds the chunk-PADDED layout the
@@ -574,12 +582,6 @@ def composite_pallas(
         buf = jnp.zeros((sc,), jnp.int32).at[starts2].max(vals_t, mode="drop")
         return jax.lax.cummax(buf)
 
-    q = jnp.arange(sc, dtype=jnp.int32)
-    a_q = stream(starts)  # starts[owner(q)]
-    b_q = stream(starts2)  # starts2[owner(q)]
-    p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
-    vals = packed[g_sorted[p_q]]  # [SC, 7+D]
-
     if config.compositor == "tilegrid":
         # Per-TILE meta; overflowed tiles are zero-count so the kernel never
         # DMAs out of bounds, and their (unwritten) gradient slots are
@@ -590,19 +592,63 @@ def composite_pallas(
             jnp.where(overflowed, 0, tile_cnt),
             jnp.broadcast_to(fit_slots, (n_tiles,)),
         ])
-        # transposed chunk layout [n_slots, ch16, 128] (Mosaic DMA blocks
-        # must be tile-aligned in the minor dims; see pallas_raster.py)
-        ch = vals.shape[-1]
+        # SCATTER layout: the former slot->pair double gather
+        # (vals = packed[g_sorted[p_q]]) paid ~9 ns/row TWICE per slot —
+        # and the inner 1D int32 gather is the single most expensive op of
+        # the whole step (2.9 ms of a 22 ms step at 480p/100k; see
+        # val_runs/layout_decomp_r4*.json). Instead, compute each PAIR's
+        # padded slot directly and scatter rows into the layout once:
+        #   q_p = starts2[t] + (p - starts[t])   for pairs inside the
+        #         clamped run of a fitting tile, else dropped.
+        # The three per-tile values needed (start, padded start, clamped
+        # run END — the end, unlike the count, is nondecreasing in tile
+        # id) ride one tiny scatter + one [MP, 3] cummax, the same trick
+        # bin_pairs uses for pair expansion. Padding slots keep ZERO rows
+        # (op 0 => alpha 0): exact no-ops in every kernel flavor.
+        ch = packed.shape[-1]
         ch16 = (ch + 7) // 8 * 8
-        vals = jnp.pad(vals, ((0, 0), (0, ch16 - ch))).reshape(
-            n_slots, _CHUNK, ch16
-        ).transpose(0, 2, 1)
+        if config.scatter_layout:
+            rows = jnp.pad(packed, ((0, 0), (0, ch16 - ch)))[g_sorted]
+            cols3 = jnp.stack([starts, starts2, starts + tile_cnt], axis=1)
+            st3 = jax.lax.cummax(
+                jnp.zeros((config.max_pairs, 3), jnp.int32).at[starts].max(
+                    cols3, mode="drop"),
+                axis=0,
+            )
+            p_idx = jnp.arange(config.max_pairs, dtype=jnp.int32)
+            pair_ok = (tile_sorted < n_tiles) & (p_idx < st3[:, 2])
+            # invalid pairs get DISTINCT out-of-bounds slots (sc + p) so
+            # the scatter can promise unique_indices — without it XLA
+            # lowers to the conservative scatter path (~3x slower on TPU)
+            q_p = jnp.where(
+                pair_ok, st3[:, 1] + (p_idx - st3[:, 0]), sc + p_idx)
+            vals = (
+                jnp.zeros((sc, ch16), packed.dtype)
+                .at[q_p].set(rows, mode="drop", unique_indices=True)
+                .reshape(n_slots, _CHUNK, ch16)
+                .transpose(0, 2, 1)
+            )
+        else:
+            q = jnp.arange(sc, dtype=jnp.int32)
+            a_q = stream(starts)  # starts[owner(q)]
+            b_q = stream(starts2)  # starts2[owner(q)]
+            p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
+            vals = jnp.pad(
+                packed[g_sorted[p_q]], ((0, 0), (0, ch16 - ch))
+            ).reshape(n_slots, _CHUNK, ch16).transpose(0, 2, 1)
         compositor = make_tilegrid_compositor(
             n_slots, n_tiles, d, ts, n_tx, interpret=interpret,
             exact_total=config.bwd_exact_total,
             mxu_accum=config.mxu_accum,
         )
     else:
+        # stream flavor keeps the original slot->pair gather layout (it
+        # needs the per-slot tile/rank streams for its meta anyway)
+        q = jnp.arange(sc, dtype=jnp.int32)
+        a_q = stream(starts)  # starts[owner(q)]
+        b_q = stream(starts2)  # starts2[owner(q)]
+        p_q = jnp.clip(a_q + (q - b_q), 0, config.max_pairs - 1)
+        vals = packed[g_sorted[p_q]]  # [SC, 7+D]
         t_q = stream(jnp.arange(n_tiles, dtype=jnp.int32))
         t_chunk = t_q[::_CHUNK]
         rank_off = q[::_CHUNK] - b_q[::_CHUNK]

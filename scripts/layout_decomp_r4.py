@@ -126,7 +126,7 @@ def main():
         (n_tx, n_ty) = jax.jit(
             lambda pr, o: bin_pairs(pr, cam.width, cam.height, tile_cfg,
                                     opacities=o))(pr, o_masked)
-    n_tiles = n_tx * n_ty
+    n_tiles = int(n_tx) * int(n_ty)  # host ints: arange stop must be concrete
     pairs_total = int(jnp.sum(tile_cnt_c))
     packed_c = jax.jit(lambda p, pr, o: jnp.concatenate(
         [pr.means2d, pr.conics, o[:, None],
@@ -241,6 +241,81 @@ def main():
     ms["gather_rows_bwd_tight"] = timed(
         jax.jit(jax.grad(lambda pk: jnp.vdot(pk[idx_t], cot_rows_t))),
         packed_c)
+
+    # ---- CANDIDATE REPLACEMENTS for vals = packed[g_sorted[p_q]] ----
+    # (a) two-stage ROW gather: packed[g_sorted] then [p_q] — swaps the
+    # pathological 1D int32 gather for a row gather of the same length
+    ms["two_stage_rows"] = timed(
+        jax.jit(lambda pk, g, p: pk[g][p]), packed16_c[: a.n], g_sorted_c,
+        p_q_c)
+    # (b) SCATTER layout: per-pair padded slot q_p = p + shift(tile(p)),
+    # shift built with the tiny-scatter+cummax trick on the PAIR axis;
+    # rows scattered straight into the padded [SC, ch] layout (padding
+    # slots stay zero rows = op 0 = exact no-ops in every kernel)
+    mp = tile_cfg.max_pairs
+
+    def pair_slots():
+        """Per-pair padded slot (or mp -> dropped): three NONDECREASING
+        per-tile values (start, padded start, clamped run END = start+cnt
+        — cnt itself is not monotone) scattered at each tile's first pair
+        index, one [MP, 3] cummax."""
+        cols = jnp.stack(
+            [starts_c, starts2_c, starts_c + tile_cnt_c], axis=1)
+        marks = jnp.zeros((mp, 3), jnp.int32).at[starts_c].max(
+            cols, mode="drop")
+        st = jax.lax.cummax(marks, axis=0)
+        p_idx2 = jnp.arange(mp, dtype=jnp.int32)
+        rank = p_idx2 - st[:, 0]
+        ok = (tile_sorted_c < n_tiles) & (p_idx2 < st[:, 2])
+        # distinct OOB slots for invalid pairs -> unique_indices scatter
+        return jnp.where(ok, st[:, 1] + rank, sc + p_idx2)
+
+    def scatter_layout(pk_pairs, q_p):
+        return jnp.zeros((sc, pk_pairs.shape[1]), pk_pairs.dtype).at[
+            q_p].set(pk_pairs, mode="drop", unique_indices=True)
+
+    def scatter_layout_dup(pk_pairs, q_p):
+        return jnp.zeros((sc, pk_pairs.shape[1]), pk_pairs.dtype).at[
+            q_p].set(pk_pairs, mode="drop")
+
+    ms["pair_slots_only"] = timed(jax.jit(pair_slots))
+    q_p_c = jax.jit(pair_slots)()
+    pk_pairs_c = jax.jit(lambda pk, g: pk[g])(packed16_c[: a.n], g_sorted_c)
+    ms["shift_plus_scatter"] = timed(
+        jax.jit(lambda pk: scatter_layout(pk, pair_slots())), pk_pairs_c)
+    ms["shift_plus_scatter_dup"] = timed(
+        jax.jit(lambda pk: scatter_layout_dup(pk, pair_slots())), pk_pairs_c)
+    ms["scatter_full_chain"] = timed(
+        jax.jit(lambda pk, g: scatter_layout(pk[g], pair_slots()).reshape(
+            n_slots, _CHUNK, ch16).transpose(0, 2, 1)),
+        packed16_c[: a.n], g_sorted_c)
+    # current full chain for apples-to-apples
+    ms["gather_full_chain"] = timed(
+        jax.jit(lambda pk, g, p: jnp.pad(pk[g[p]], (
+            (0, 0), (0, ch16 - ch))).reshape(
+            n_slots, _CHUNK, ch16).transpose(0, 2, 1)),
+        packed_c[: a.n], g_sorted_c, p_q_c)
+    # equivalence of the scatter layout vs the gather layout on REAL slots
+    v_gather = jax.jit(lambda pk, g, p: pk[g[p]])(
+        packed16_c[: a.n], g_sorted_c, p_q_c)
+    v_scatter = jax.jit(
+        lambda pk, g: scatter_layout(pk[g], q_p_c))(
+            packed16_c[: a.n], g_sorted_c)
+    # real slots: q < starts2(owner) + cnt(owner); the run-END stream is
+    # nondecreasing (cnt alone is not)
+    lane_q = jnp.arange(sc, dtype=jnp.int32)
+    end_q = jax.lax.cummax(jnp.zeros((sc,), jnp.int32).at[starts2_c].max(
+        starts2_c + tile_cnt_c, mode="drop"))
+    real = lane_q < end_q
+    diff = float(jnp.max(jnp.where(real[:, None], jnp.abs(
+        v_gather - v_scatter), 0.0)))
+    ms["scatter_vs_gather_maxdiff"] = diff
+    # backward of the scatter chain (gather back to [MP] rows)
+    cot_sc = jnp.asarray(np.random.RandomState(5).randn(sc, ch16), jnp.float32)
+    ms["scatter_bwd"] = timed(
+        jax.jit(jax.grad(
+            lambda pk: jnp.vdot(scatter_layout(pk, q_p_c), cot_sc))),
+        pk_pairs_c)
 
     out = {
         "shape": f"{a.width}x{a.height}",

@@ -79,6 +79,50 @@ class TestPallasBackward:
                 err_msg=f"grad mismatch: {name}",
             )
 
+    @pytest.mark.parametrize("exact_total", [False, True])
+    @pytest.mark.parametrize("scatter_layout", [False, True])
+    def test_tile_size_32_pixel_blocked_bwd(self, exact_total,
+                                            scatter_layout):
+        # tile_size=32 runs the backward's pixel-block loop with n_pb=4
+        # (1024 px / 256-row blocks) — the path that keeps the kernel's
+        # live VMEM under the 16 MB scoped limit on real hardware.
+        # scatter_layout covers both layout-construction paths (bit-equal
+        # layouts, different op chains).
+        cfg = TileConfig(max_per_tile=256, max_pairs=8192, tile_size=32,
+                         compositor="tilegrid", bwd_exact_total=exact_total,
+                         scatter_layout=scatter_layout)
+        cam = make_camera(width=64, height=64)
+        means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(21), 50)
+        target = jax.random.uniform(jax.random.PRNGKey(22), (3, 64, 64))
+        bg = jnp.array([0.3, 0.2, 0.1])
+
+        def loss(backend, m, c, o, cv):
+            res = render(cam, m, cv, o, bg, colors_precomp=c,
+                         backend=backend, tile_config=cfg)
+            return (
+                jnp.mean((res.image - target) ** 2)
+                + 0.3 * jnp.mean(res.alpha)
+                + 0.1 * jnp.mean(res.depth)
+            )
+
+        args = (means, colors, ops, cov3d)
+        a = render(cam, means, cov3d, ops, bg, colors_precomp=colors,
+                   backend="oracle")
+        b = render(cam, means, cov3d, ops, bg, colors_precomp=colors,
+                   backend="pallas", tile_config=cfg)
+        np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                                   atol=3e-4)
+        g_tiled = jax.grad(lambda *x: loss("tiled", *x),
+                           argnums=(0, 1, 2, 3))(*args)
+        g_pallas = jax.grad(lambda *x: loss("pallas", *x),
+                            argnums=(0, 1, 2, 3))(*args)
+        for gt, gp, name in zip(g_tiled, g_pallas,
+                                "means colors ops cov3d".split()):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gt), atol=2e-4, rtol=1e-3,
+                err_msg=f"grad mismatch: {name}",
+            )
+
     def test_probe_grads_match(self):
         cam = make_camera(width=32, height=32)
         means, cov3d, colors, ops = random_scene(jax.random.PRNGKey(16), 25)
