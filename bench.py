@@ -232,7 +232,7 @@ def _step_bytes_estimate(n, tile_cfg, width, height, d=3):
 
 
 def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50,
-                         tile_size=16, mxu_accum=None,
+                         tile_size=32, mxu_accum=None,
                          tile_cfg_overrides=None):
     """it/s of the full train step (render fwd+bwd+Adam) at width x height.
     n_warmup_train real steps are applied first (annealing the scene with

@@ -178,9 +178,16 @@ class RenderParams:
     twin — the CUDA rasterizer had no exposed tuning)."""
 
     backend: str = "auto"  # auto | oracle | tiled | pallas
-    tile_size: int = 16
+    tile_size: int = 32
     max_per_tile: int = 1024
     pairs_per_gaussian: int = 16
+    # Crop-window rendering for the masked-object stages (coarse + fine_obj):
+    # render only a window covering (object splats ∪ mask), with sum-
+    # normalized losses — provably loss-identical while coverage holds, and
+    # coverage is COUNTED on device every step (render/crop.py). Margin is
+    # the per-side slack beyond the data-derived window size.
+    pose_crop: bool = True
+    pose_crop_margin: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -225,12 +225,15 @@ def multi_scene_coarse_step(
         # the single-scene driver's static formula, per scene and traced:
         # grad_params = first_frame or it >= warm_up_iter
         gate = (ff | (it >= cp.warm_up_iter)).astype(model.params.xyz.dtype)
-        return _coarse_body(
+        # (crop windows stay off in the lockstep — the static size would be
+        # shared across scenes; the trailing escape count is discarded)
+        *out, _crop = _coarse_body(
             model, opt, pose, popt, batch, cidx, tT, tR, fidx, it, drop,
             tp, ff, grad_params, opt_cfg, cp, backend, tile_config,
             param_grad_gate=gate if grad_params else None,
             xyz_lr_mult=mult,
         )
+        return tuple(out)
 
     def body(models, opts, poses, popts, batches, cidxs, tTs, tRs, fidxs,
              drops, tps, ffs, mults):
@@ -334,7 +337,9 @@ def multi_scene_fine_step(
         plr_t = jnp.where(pose_live, opt_cfg.obj_translation_lr, 0.0)
         plr_r = jnp.where(pose_live, opt_cfg.obj_rotation_lr, 0.0)
 
-        model, opt, pose, popt, loss, radii, drop = _pose_core(
+        # (no crop window in the lockstep path: the static size would have
+        # to be shared across scenes — the 8th returned value is discarded)
+        model, opt, pose, popt, loss, radii, drop, _ = _pose_core(
             model, opt, pose, popt, batch, cidx,
             fixed_T, fixed_R, lr_tree, plr_t, plr_r,
             jnp.asarray(True), drop,

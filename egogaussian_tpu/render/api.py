@@ -24,14 +24,19 @@ from egogaussian_tpu.render.project import project_gaussians
 
 
 class RenderResult(NamedTuple):
-    image: jnp.ndarray  # [D, H, W]
+    image: jnp.ndarray  # [D, H, W] (crop_size when cropped)
     alpha: jnp.ndarray  # [1, H, W]
     depth: jnp.ndarray  # [1, H, W]
     radii: jnp.ndarray  # [N] int32; >0 == the reference's visibility_filter
-    means2d: jnp.ndarray  # [N, 2] projected screen means
+    means2d: jnp.ndarray  # [N, 2] projected screen means (FULL-frame coords)
     # scalar i32: pairs silently dropped by the binned backends' static
     # capacities this render (0 == exact; trainers log the running max)
     dropped_pairs: jnp.ndarray = 0
+    # crop-window rendering (render/crop.py): window origin (ox, oy) i32 and
+    # the coverage-escape count (0 == the cropped render is provably
+    # loss-identical to the full frame for masked-object losses)
+    crop_offset: jnp.ndarray = None
+    crop_outside: jnp.ndarray = 0
 
 
 def _colors_from_sh(
@@ -64,6 +69,8 @@ def render(
     means2d_probe: Optional[jnp.ndarray] = None,
     backend: str = "tiled",
     tile_config=None,
+    crop_size: Optional[tuple] = None,
+    crop_rect: Optional[jnp.ndarray] = None,
 ) -> RenderResult:
     """Differentiable rasterization of N Gaussians into `camera`.
 
@@ -75,6 +82,13 @@ def render(
       means2d_probe: [N, 2] zeros; added to projected means so that
         d(loss)/d(probe) recovers screen-space gradients for densification
       backend: "oracle" | "tiled"
+      crop_size: optional STATIC (crop_w, crop_h) — composite only a
+        window of that size, auto-placed on device over (splat reach ∪
+        crop_rect) each call (render/crop.py). Projection, radii and probe
+        gradients stay full-frame-identical; image/alpha/depth come back at
+        crop_size and `crop_offset`/`crop_outside` report the window.
+      crop_rect: optional (x0, y0, x1, y1) f32 must-cover rect (e.g. the
+        object-mask bbox from render.crop.mask_rect)
     """
     proj = project_gaussians(
         means3d,
@@ -104,23 +118,43 @@ def render(
         # train/common.py pick_backend)
         backend = "pallas" if tile_config is not None else "tiled"
 
-    if backend == "oracle":
-        out = composite_oracle(
-            proj, colors, opacities, bg, camera.width, camera.height
+    comp_w, comp_h = camera.width, camera.height
+    crop_offset, crop_outside = None, 0
+    if crop_size is not None:
+        from egogaussian_tpu.render.crop import crop_window
+
+        crop_w, crop_h = int(crop_size[0]), int(crop_size[1])
+        if backend == "oracle":
+            align = 1  # grid-free compositor
+        else:
+            from egogaussian_tpu.render.tiled import TileConfig
+
+            align = (tile_config or TileConfig()).tile_size
+        ox, oy, crop_outside = crop_window(
+            proj, opacities, valid_mask, crop_rect,
+            crop_w, crop_h, camera.width, camera.height, align=align,
         )
+        # exact window shift: means2d = fx*x/z + cx, so shifting by the
+        # integer origin is the principal-point shift cx - ox (affine in
+        # pixel coords; radii/conics/depths untouched)
+        shift = jnp.stack([ox, oy]).astype(means2d.dtype)
+        proj = proj._replace(means2d=means2d - shift[None, :])
+        comp_w, comp_h = crop_w, crop_h
+        crop_offset = jnp.stack([ox, oy])
+
+    if backend == "oracle":
+        out = composite_oracle(proj, colors, opacities, bg, comp_w, comp_h)
     elif backend == "tiled":
         from egogaussian_tpu.render.tiled import composite_tiled
 
         out = composite_tiled(
-            proj, colors, opacities, bg, camera.width, camera.height,
-            config=tile_config,
+            proj, colors, opacities, bg, comp_w, comp_h, config=tile_config,
         )
     elif backend == "pallas":
         from egogaussian_tpu.render.tiled import composite_pallas
 
         out = composite_pallas(
-            proj, colors, opacities, bg, camera.width, camera.height,
-            config=tile_config,
+            proj, colors, opacities, bg, comp_w, comp_h, config=tile_config,
         )
     else:
         raise ValueError(f"unknown render backend: {backend}")
@@ -132,6 +166,8 @@ def render(
         radii=out.radii,
         means2d=means2d,
         dropped_pairs=out.dropped_pairs,
+        crop_offset=crop_offset,
+        crop_outside=crop_outside,
     )
 
 

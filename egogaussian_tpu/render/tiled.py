@@ -103,6 +103,26 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def opacity_aabb_radius(radii, opacities, q_margin: float = 1e-3):
+    """Opacity-aware reach radius (pixels) + log-opacity threshold.
+
+    The single definition of "how far can this splat produce alpha >=
+    ALPHA_EPS" — used by bin_pairs' pair cull AND render.crop's window
+    coverage check, so the two can never disagree. radii = ceil(3*sqrt(
+    lambda_max)) from projection, so radii/3 >= sigma_max; the disk that
+    can reach alpha >= eps has radius sigma*sqrt(2*ln(op/eps)).
+
+    Returns (r_aabb [N] f32, thr [N] f32). Splats with op < ALPHA_EPS
+    (thr < 0) reach nowhere — callers must mask them out separately (the
+    clamp only bounds the sqrt argument)."""
+    thr = jnp.log(jnp.maximum(opacities, 1e-30) * (1.0 / ALPHA_EPS))
+    sigma = radii * (1.0 / 3.0)
+    r_aabb = jnp.minimum(
+        radii, sigma * jnp.sqrt(jnp.maximum(2.0 * thr + q_margin, 0.0))
+    )
+    return r_aabb, thr
+
+
 def estimate_tile_config(
     means2d,
     radii,
@@ -251,14 +271,8 @@ def bin_pairs(
         op_s = mu_r[:, 6]
         # ln(op/eps): pairs need Q <= thr somewhere in the tile to matter.
         # op < eps contributes nowhere (alpha = op*exp(<=0) <= op < eps).
-        thr = jnp.log(jnp.maximum(op_s, 1e-30) * (1.0 / ALPHA_EPS))
+        r_aabb, thr = opacity_aabb_radius(radii, op_s, q_margin=Q_MARGIN)
         valid_s = valid_s & (op_s >= ALPHA_EPS)
-        # radii = ceil(3*sqrt(lambda_max)) so radii/3 >= sigma_max: the
-        # disk that can reach alpha >= eps has radius sigma*sqrt(2 thr)
-        sigma = radii * (1.0 / 3.0)
-        r_aabb = jnp.minimum(
-            radii, sigma * jnp.sqrt(jnp.maximum(2.0 * thr + Q_MARGIN, 0.0))
-        )
     else:
         r_aabb = radii
 

@@ -98,9 +98,21 @@ def _pose_core(
     tile_config=None,
     grad_params: bool = True,
     param_grad_gate=None,
+    crop_size=None,
+    crop_max=0,
 ):
     """One pose-optimization iteration (shared core of stages 2 and 3 —
     always called from inside a stage-level jit).
+
+    `crop_size` (static (crop_w, crop_h), optional) renders only a window
+    auto-placed over (object-splat reach ∪ mask bbox) and computes the
+    losses as crop sums normalized by the FULL frame's pixel count —
+    provably identical loss and gradients whenever the returned
+    `crop_out` count is 0 (render/crop.py has the argument; the escape
+    count is the proof obligation, tracked like dropped_pairs). The
+    reference renders the full frame every iteration
+    (coarse_obj_pose.py:240-260) — this is a TPU-build optimization with
+    no reference twin.
     grad_params=False skips the Gaussian-parameter backward entirely (the
     coarse warm-up trains pose only for 20k of 30k iters — no point paying
     for param gradients that meet zero learning rates).
@@ -123,6 +135,14 @@ def _pose_core(
     bg = jnp.zeros(3, model.params.xyz.dtype)
     probe = jnp.zeros((model.capacity, 2), model.params.xyz.dtype)
     tp = jnp.asarray(train_pose)
+    if crop_size is not None:
+        from egogaussian_tpu.render.crop import crop_plane, mask_rect
+
+        cw, ch = int(crop_size[0]), int(crop_size[1])
+        rect = mask_rect(obj_mask)
+        # sums over the crop / full-frame count == the full-frame means
+        # (every outside pixel is exactly 0 in pred AND target)
+        loss_scale = (cw * ch) / float(batch.width * batch.height)
 
     def loss_fn(params, pose_p, probe):
         m = dataclasses.replace(model, params=params)
@@ -131,22 +151,33 @@ def _pose_core(
         res = render_gaussians(
             m, cam, bg, pose_T=T, extra_rot=R_extra, means2d_probe=probe,
             backend=backend, tile_config=tile_config,
+            crop_size=crop_size,
+            crop_rect=rect if crop_size is not None else None,
         )
-        img = mask_grad(res.image, hand)
-        alpha = mask_grad(res.alpha, hand)
-        gt_obj = gt * obj_mask
+        if crop_size is not None:
+            ox, oy = res.crop_offset[0], res.crop_offset[1]
+            gt_c = crop_plane(gt, ox, oy, cw, ch)
+            hand_c = crop_plane(hand, ox, oy, cw, ch)
+            mask_c = crop_plane(obj_mask, ox, oy, cw, ch)
+        else:
+            gt_c, hand_c, mask_c = gt, hand, obj_mask
+        img = mask_grad(res.image, hand_c)
+        alpha = mask_grad(res.alpha, hand_c)
+        gt_obj = gt_c * mask_c
         loss = lambda_image * image_loss(img, gt_obj, lambda_dssim)
-        loss = loss + lambda_l1_alpha * l1_loss(obj_mask, alpha)
-        loss = loss + lambda_l2_alpha * l2_loss(obj_mask, alpha)
-        return loss, (res.radii, loss, res.dropped_pairs)
+        loss = loss + lambda_l1_alpha * l1_loss(mask_c, alpha)
+        loss = loss + lambda_l2_alpha * l2_loss(mask_c, alpha)
+        if crop_size is not None:
+            loss = loss * loss_scale
+        return loss, (res.radii, loss, res.dropped_pairs, res.crop_outside)
 
     if grad_params:
-        grads, (radii, loss, dropped) = jax.grad(
+        grads, (radii, loss, dropped, crop_out) = jax.grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(model.params, pose, probe)
         param_grads, pose_grads, probe_grads = grads
     else:
-        grads, (radii, loss, dropped) = jax.grad(
+        grads, (radii, loss, dropped, crop_out) = jax.grad(
             loss_fn, argnums=(1, 2), has_aux=True
         )(jax.lax.stop_gradient(model.params), pose, probe)
         pose_grads, probe_grads = grads
@@ -179,7 +210,9 @@ def _pose_core(
     pose = sel(new_pose, pose)
     pose_opt_state = sel(new_popt, pose_opt_state)
     return (model, new_opt, pose, pose_opt_state, loss, radii,
-            jnp.maximum(drop_max, dropped))
+            jnp.maximum(drop_max, dropped),
+            jnp.maximum(jnp.asarray(crop_max, jnp.int32),
+                        jnp.asarray(crop_out, jnp.int32)))
 
 
 pose_step = functools.partial(
@@ -187,6 +220,7 @@ pose_step = functools.partial(
     static_argnames=(
         "train_pose", "lambda_image", "lambda_dssim", "lambda_l1_alpha",
         "lambda_l2_alpha", "backend", "tile_config", "grad_params",
+        "crop_size",
     ),
 )(_pose_core)
 
@@ -246,7 +280,7 @@ def _coarse_pose_lrs(it, opt, cp):
     jax.jit,
     static_argnames=(
         "train_pose", "first_frame", "grad_params", "opt_cfg", "coarse_cfg",
-        "backend", "tile_config",
+        "backend", "tile_config", "crop_size",
     ),
 )
 def coarse_step(
@@ -269,6 +303,8 @@ def coarse_step(
     coarse_cfg=None,
     backend: str = "tiled",
     tile_config=None,
+    crop_size=None,
+    crop_max=0,
 ):
     """Stage-2 iteration: the full per-iteration LR choreography (gaussian
     tree, pose LR freeze window, densify-stat gating) runs IN-JIT from the
@@ -279,7 +315,7 @@ def coarse_step(
         model, opt_state, pose, pose_opt_state, batch, cam_idx, table_T,
         table_R, fixed_idx, it, drop_max, train_pose, first_frame,
         grad_params, opt_cfg, coarse_cfg, backend, tile_config,
-        count_advance=count_advance,
+        count_advance=count_advance, crop_size=crop_size, crop_max=crop_max,
     )
 
 
@@ -287,7 +323,7 @@ def _coarse_body(model, opt_state, pose, pose_opt_state, batch, cam_idx,
                  table_T, table_R, fixed_idx, it, drop_max, train_pose,
                  first_frame, grad_params, opt_cfg, coarse_cfg, backend,
                  tile_config, param_grad_gate=None, xyz_lr_mult=None,
-                 count_advance=None):
+                 count_advance=None, crop_size=None, crop_max=0):
     """Shared body of `coarse_step` (static flags) and `coarse_step_traced`
     (per-scene traced flags for the multi-scene lockstep).
 
@@ -328,6 +364,8 @@ def _coarse_body(model, opt_state, pose, pose_opt_state, batch, cam_idx,
         tile_config=tile_config,
         grad_params=grad_params,
         param_grad_gate=param_grad_gate,
+        crop_size=crop_size,
+        crop_max=crop_max,
     )
 
 
@@ -412,12 +450,15 @@ def estimate_coarse_obj_pose(
     ckpt_coarse.npz, and a fresh call skips already-solved frames. (The
     reference's equivalent is its per-frame atomic pose save + manual
     uncomment-to-resume, coarse_obj_pose.py:19-28, train.py:122.)"""
+    from egogaussian_tpu.train.common import maybe_grow_crop, pose_crop_size
+
     rng = np.random.RandomState(seed)
     cp = cfg.coarse
     model = obj_model
     batch = stack_cameras(list(cameras))
-    tile_cfg = auto_tile_config(model, batch.camera(0))
+    tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
     backend = pick_backend(tile_cfg, backend)
+    crop_size = pose_crop_size(batch, cfg, "coarse")
     F = batch.num_frames
     pose_seq = empty_pose_sequence(F)
     solved_names: Dict[int, str] = {}
@@ -442,12 +483,14 @@ def estimate_coarse_obj_pose(
             (model, pose_seq), rng, key_dummy
         )
         solved_names = dict(ckpt.extra or {})
-        tile_cfg = auto_tile_config(model, batch.camera(0))
+        tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
         backend = pick_backend(tile_cfg, backend)
         CONSOLE.log(f"[coarse] resume: {len(solved_names)} frames solved")
 
     drop_max = jnp.int32(0)
     last_drop = 0
+    crop_max = jnp.int32(0)
+    last_crop = 0
     for phase, dyn_frames in enumerate(dynamic_phase_frames):
         # append first frame of the next static phase (coarse_obj_pose.py:137)
         frames = list(dyn_frames) + [static_phase_frames[phase + 1][0]]
@@ -530,7 +573,8 @@ def estimate_coarse_obj_pose(
                     continue
 
                 fixed_idx = (f_cur - 1) if train_p else cam_idx
-                model, opt_state, pose, pose_opt, loss, radii, drop_max = coarse_step(
+                (model, opt_state, pose, pose_opt, loss, radii, drop_max,
+                 crop_max) = coarse_step(
                     model, opt_state, pose, pose_opt, batch,
                     cam_idx, table_T, table_R, fixed_idx, it, drop_max,
                     train_pose=train_p,
@@ -541,6 +585,8 @@ def estimate_coarse_obj_pose(
                     coarse_cfg=cp,
                     backend=backend,
                     tile_config=tile_cfg,
+                    crop_size=crop_size,
+                    crop_max=crop_max,
                 )
                 pending_noop = 0
 
@@ -555,10 +601,15 @@ def estimate_coarse_obj_pose(
                     )
                     if changed:
                         drop_max, last_drop = jnp.int32(0), 0
+                    crop_size, last_crop, cchanged = maybe_grow_crop(
+                        crop_size, crop_max, last_crop, batch, "coarse",
+                    )
+                    if cchanged:
+                        crop_max = jnp.int32(0)
                     log_metrics(
                         "coarse", it, frame=f_cur, loss=loss,
                         alive=model.num_alive, capacity=model.capacity,
-                        dropped_pairs=drop_max,
+                        dropped_pairs=drop_max, crop_escapes=crop_max,
                     )
 
                 # --- densification window (coarse_obj_pose.py:324-337) ---
@@ -585,7 +636,7 @@ def estimate_coarse_obj_pose(
                             )
                         model, opt_state, grew = ensure_capacity(model, opt_state)
                         if grew:
-                            tile_cfg = auto_tile_config(model, batch.camera(0))
+                            tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
                     if it % cp.opacity_reset_interval == 0:
                         model, opt_state = _reset_opacity_jit(
                             model, opt_state, which_object=1
@@ -617,6 +668,13 @@ def estimate_coarse_obj_pose(
                     )
 
     _log_dropped_pairs("coarse", None, drop_max)
+    if crop_size is not None and int(crop_max):
+        CONSOLE.log(
+            f"[coarse] WARNING — up to {int(crop_max)} splats/render escaped "
+            "the crop window since the last growth (their out-of-window "
+            "gradients were lost; window grows automatically at the next "
+            "densify-interval check)"
+        )
     if save_dir:
         save_ply(model, os.path.join(save_dir, "ply", "gaussians_final.ply"))
         save_pose_sequence(

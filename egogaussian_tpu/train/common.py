@@ -27,6 +27,7 @@ from egogaussian_tpu.ops.losses import l1_loss, ssim
 from egogaussian_tpu.ops.sh import sh_to_rgb
 from egogaussian_tpu.render.api import render, RenderResult
 from egogaussian_tpu.render.camera import Camera
+from egogaussian_tpu.utils.console import CONSOLE
 
 
 @jax.tree_util.register_dataclass
@@ -82,6 +83,8 @@ def render_gaussians(
     colors_override: Optional[jnp.ndarray] = None,
     backend: str = "tiled",
     tile_config=None,
+    crop_size=None,
+    crop_rect=None,
 ) -> RenderResult:
     """Render the model, optionally moving the object subset by a rigid
     transform and rotating its covariance (reference render(...) with
@@ -91,6 +94,7 @@ def render_gaussians(
       pose_T: [4, 4] SE(3) applied to Gaussians with is_object==which_object
       extra_rot: [3, 3] rotation for those Gaussians' covariance (usually
         pose_T's rotation, possibly including the trainable frame delta)
+      crop_size/crop_rect: crop-window rendering (see render.api.render)
     """
     p = model.params
     xyz = p.xyz
@@ -114,6 +118,8 @@ def render_gaussians(
         means2d_probe=means2d_probe,
         backend=backend,
         tile_config=tile_config,
+        crop_size=crop_size,
+        crop_rect=crop_rect,
     )
 
 
@@ -131,10 +137,15 @@ def pick_backend(tile_config, backend: str = "auto") -> str:
 
 
 def auto_tile_config(model: GaussianModel, camera: Camera,
-                     headroom: float = 3.0, tile_size: int = 16):
+                     headroom: float = 3.0, tile_size: int = 32):
     """Host-side: estimate binning capacities for the current scene/camera
     (render/tiled.py estimate_tile_config). Call at stage/phase start;
-    generous headroom covers densification growth within the phase."""
+    generous headroom covers densification growth within the phase.
+
+    tile_size default 32: the on-chip 2x2 layout x tile-size A/B
+    (val_runs/layout_ts_ab_r4.jsonl, 480p/100k) has ts=32 ahead 48.3 vs
+    44.6 it/s — 4x fewer kernel grid steps and ~25% less chunk padding
+    beat the larger per-tile pixel block."""
     from egogaussian_tpu.render.project import project_gaussians
     from egogaussian_tpu.render.tiled import estimate_tile_config
 
@@ -199,6 +210,81 @@ def maybe_regrow_tile_config(model, camera, tile_cfg, drop_max, last_drop,
         f"max_per_tile {tile_cfg.max_per_tile} -> {grown.max_per_tile})"
     )
     return grown, d, grown != tile_cfg
+
+
+def pose_crop_size(batch, cfg, stage: str):
+    """Static crop-window size for the masked-object stages (2 and 3).
+
+    Sized from the data: the per-iteration window auto-centers on
+    (splat reach ∪ mask bbox) on device (render/crop.py), so the static
+    SIZE must cover the largest such union — bounded by the largest union
+    of CONSECUTIVE frames' mask bboxes (the warm-up starts the object at
+    the previous frame's pose) plus `cfg.render.pose_crop_margin` px per
+    side (splat 3-sigma tails beyond the mask + SSIM window + drift
+    between coverage checks). Rounded to TPU-friendly multiples (width to
+    128 lanes, height to 8 sublanes). Returns None when cropping is
+    disabled or the window wouldn't shrink the frame meaningfully
+    (>= ~80% of its area)."""
+    import numpy as np
+
+    if not cfg.render.pose_crop:
+        return None
+    from egogaussian_tpu.render.crop import mask_rect_table
+
+    w, h = batch.width, batch.height
+    rects = np.asarray(mask_rect_table(batch.obj_masks))  # [F, 4]
+    nonempty = rects[:, 2] > rects[:, 0]
+    if not nonempty.any():
+        return None
+    margin = cfg.render.pose_crop_margin
+    # per-frame extents and the union of consecutive nonempty frames
+    widths = (rects[:, 2] - rects[:, 0]).astype(np.int64)
+    heights = (rects[:, 3] - rects[:, 1]).astype(np.int64)
+    need_w = int(widths[nonempty].max())
+    need_h = int(heights[nonempty].max())
+    ne = np.flatnonzero(nonempty)
+    for a, b in zip(ne[:-1], ne[1:]):
+        uw = int(max(rects[a, 2], rects[b, 2]) - min(rects[a, 0], rects[b, 0]))
+        uh = int(max(rects[a, 3], rects[b, 3]) - min(rects[a, 1], rects[b, 1]))
+        need_w = max(need_w, uw)
+        need_h = max(need_h, uh)
+    cw = min(-(-(need_w + 2 * margin) // 128) * 128, w)
+    ch = min(-(-(need_h + 2 * margin) // 8) * 8, h)
+    if cw * ch >= 0.8 * w * h:
+        return None
+    CONSOLE.log(
+        f"[{stage}] crop-window rendering {cw}x{ch} of {w}x{h} "
+        f"({100.0 * cw * ch / (w * h):.0f}% area; margin {margin}px)"
+    )
+    return (cw, ch)
+
+
+def maybe_grow_crop(crop_size, crop_out_max, last_crop_out, batch, stage: str):
+    """Coverage-escape response, called at host-sync boundaries with the
+    device running-max escape count (render/crop.py crop_window). Escaped
+    splats lose their out-of-window gradient, so (same discipline as
+    dropped-pair capacity regrowth) the window GROWS by 128x64 px — one
+    recompile — until it covers, degenerating to full-frame (None) when
+    no smaller window fits. Returns (crop_size, last_crop_out, changed)."""
+    if crop_size is None:
+        return None, last_crop_out, False
+    c = int(crop_out_max)
+    if c <= last_crop_out:
+        return crop_size, last_crop_out, False
+    w, h = batch.width, batch.height
+    cw = min(crop_size[0] + 128, w)
+    ch = min(crop_size[1] + 64, h)
+    if cw * ch >= 0.8 * w * h:
+        CONSOLE.log(
+            f"[{stage}] {c} splats escaped the {crop_size[0]}x{crop_size[1]} "
+            f"crop window — disabling crop (full-frame rendering)"
+        )
+        return None, 0, True
+    CONSOLE.log(
+        f"[{stage}] {c} splats escaped the {crop_size[0]}x{crop_size[1]} "
+        f"crop window — growing to {cw}x{ch}"
+    )
+    return (cw, ch), 0, True
 
 
 def render_label_image(

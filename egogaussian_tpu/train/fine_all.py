@@ -148,7 +148,7 @@ def fine_tune_all(
     weights = weights / weights.sum()
 
     opt_state = adam_init(model.params)
-    tile_cfg = auto_tile_config(model, batch.camera(0))
+    tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
     backend = pick_backend(tile_cfg, backend)
     # pose frozen all stage: accumulate ONCE, keep device-resident
     accum_T = pose_seq.accum_T()

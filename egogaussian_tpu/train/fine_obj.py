@@ -78,6 +78,7 @@ def _fine_lr_tree(model, it, opt, divide_3dgs: float = 5.0):
     jax.jit,
     static_argnames=(
         "train_pose", "opt_cfg", "fine_cfg", "backend", "tile_config",
+        "crop_size",
     ),
 )
 def _fine_obj_step(
@@ -94,6 +95,8 @@ def _fine_obj_step(
     fine_cfg=None,
     backend: str = "tiled",
     tile_config=None,
+    crop_size=None,
+    crop_max=0,
 ):
     """Stage-3 iteration with the pose sequence DEVICE-RESIDENT: the frame's
     stored delta is loaded in-jit, the accumulated transforms are recomputed
@@ -130,7 +133,8 @@ def _fine_obj_step(
     plr_t = jnp.where(pose_live, opt_cfg.obj_translation_lr, 0.0)
     plr_r = jnp.where(pose_live, opt_cfg.obj_rotation_lr, 0.0)
 
-    model, opt_state, pose, pose_opt, loss, radii, drop_max = _pose_core(
+    (model, opt_state, pose, pose_opt, loss, radii, drop_max,
+     crop_max) = _pose_core(
         model, opt_state, pose, pose_opt, batch, cam_idx,
         fixed_T, fixed_R, lr_tree, plr_t, plr_r,
         jnp.asarray(True), drop_max,
@@ -141,6 +145,8 @@ def _fine_obj_step(
         lambda_l2_alpha=fp.lambda_Ll2_alpha,
         backend=backend,
         tile_config=tile_config,
+        crop_size=crop_size,
+        crop_max=crop_max,
     )
     if train_pose and opt_cfg.obj_translation_lr > 0:
         # write back (fine_obj.py:216-224) only once the pose LR is live —
@@ -149,7 +155,7 @@ def _fine_obj_step(
         pose_seq = jax.tree_util.tree_map(
             lambda a, b: jnp.where(pose_live, b, a), pose_seq, upd
         )
-    return model, opt_state, pose_seq, pose_opt, loss, radii, drop_max
+    return model, opt_state, pose_seq, pose_opt, loss, radii, drop_max, crop_max
 
 
 def fine_tune_obj(
@@ -188,9 +194,12 @@ def fine_tune_obj(
     )
 
     opt_state = adam_init(model.params)
-    from egogaussian_tpu.train.common import auto_tile_config, pick_backend
-    tile_cfg = auto_tile_config(model, batch.camera(0))
+    from egogaussian_tpu.train.common import (
+        auto_tile_config, maybe_grow_crop, pick_backend, pose_crop_size,
+    )
+    tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
     backend = pick_backend(tile_cfg, backend)
+    crop_size = pose_crop_size(batch, cfg, "fine_obj")
     pose_opt = adam_init(ObjectPose(jnp.zeros(3), jnp.eye(3)[:, :2]))
     key = jax.random.PRNGKey(seed)
 
@@ -212,18 +221,21 @@ def fine_tune_obj(
         (model, opt_state, pose_opt, pose_seq), start_it, key = ckpt.try_restore(
             (model, opt_state, pose_opt, pose_seq), rng, key
         )
-        tile_cfg = auto_tile_config(model, batch.camera(0))
+        tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
         backend = pick_backend(tile_cfg, backend)
 
     drop_max = jnp.int32(0)
     last_drop = 0
+    crop_max = jnp.int32(0)
+    last_crop = 0
     for it in range(start_it + 1, fp.total_num_iter + 1):
         if it == 1:
             cam_idx, train_p = static_phase_frames[0][0], False
         else:
             cam_idx = int(frames[rng.choice(len(frames), p=weights)])
             train_p = cam_idx in dynamic_list
-        model, opt_state, pose_seq, pose_opt, loss, radii, drop_max = _fine_obj_step(
+        (model, opt_state, pose_seq, pose_opt, loss, radii, drop_max,
+         crop_max) = _fine_obj_step(
             model, opt_state, pose_seq, pose_opt, batch,
             cam_idx, it, drop_max,
             train_pose=train_p,
@@ -231,6 +243,8 @@ def fine_tune_obj(
             fine_cfg=fp,
             backend=backend,
             tile_config=tile_cfg,
+            crop_size=crop_size,
+            crop_max=crop_max,
         )
 
         if it % fp.densification_interval == 0:
@@ -242,9 +256,15 @@ def fine_tune_obj(
             )
             if changed:
                 drop_max, last_drop = jnp.int32(0), 0
+            crop_size, last_crop, cchanged = maybe_grow_crop(
+                crop_size, crop_max, last_crop, batch, "fine_obj",
+            )
+            if cchanged:
+                crop_max = jnp.int32(0)
             log_metrics(
                 "fine_obj", it, loss=loss, alive=model.num_alive,
                 capacity=model.capacity, dropped_pairs=drop_max,
+                crop_escapes=crop_max,
             )
         if it < fp.densify_until_iter and it > fp.densify_from_iter:
             if it % fp.densification_interval == 0:
@@ -267,7 +287,7 @@ def fine_tune_obj(
                     )
                 model, opt_state, grew = ensure_capacity(model, opt_state)
                 if grew:
-                    tile_cfg = auto_tile_config(model, batch.camera(0))
+                    tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
             if it % fp.opacity_reset_interval == 0:
                 model, opt_state = _reset_opacity_jit(
                     model, opt_state, which_object=1

@@ -477,7 +477,7 @@ def train_static(
             spatial_lr_scale=cameras_extent, seed=seed,
         )
         opt_state = adam_init(model.params)
-        tile_cfg = auto_tile_config(model, batch.camera(0))
+        tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
         backend = pick_backend(tile_cfg, backend)
         key = jax.random.PRNGKey(seed + phase)
 
@@ -501,7 +501,7 @@ def train_static(
                 TrainState(model, opt_state, jnp.int32(0)), rng, key
             )
             model, opt_state = state.model, state.opt_state
-            tile_cfg = auto_tile_config(model, batch.camera(0))
+            tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
             backend = pick_backend(tile_cfg, backend)
 
         # frame sub-stack: all frames during std+entropy; rewind subset in label
@@ -586,7 +586,7 @@ def train_static(
                     if grew:
                         # capacity growth recompiles anyway — re-estimate the
                         # binning capacities for the denser scene
-                        tile_cfg = auto_tile_config(model, batch.camera(0))
+                        tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
                 if it % opt_cfg.opacity_reset_interval == 0:
                     model, opt_state = _reset_opacity_jit(model, opt_state)
 
@@ -694,7 +694,7 @@ def train_background(
         spatial_lr_scale=cameras_extent, seed=seed,
     )
     opt_state = adam_init(model.params)
-    tile_cfg = auto_tile_config(model, batch.camera(0))
+    tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
     backend = pick_backend(tile_cfg, backend)
     key = jax.random.PRNGKey(seed)
 
@@ -718,7 +718,7 @@ def train_background(
             TrainState(model, opt_state, jnp.int32(0)), rng, key
         )
         model, opt_state = state.model, state.opt_state
-        tile_cfg = auto_tile_config(model, batch.camera(0))
+        tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
         backend = pick_backend(tile_cfg, backend)
     CONSOLE.log(f"[bg] {len(train_cams)} frames, {total_iters} iters")
 
@@ -767,7 +767,7 @@ def train_background(
                     )
                 model, opt_state, grew = ensure_capacity(model, opt_state)
                 if grew:
-                    tile_cfg = auto_tile_config(model, batch.camera(0))
+                    tile_cfg = auto_tile_config(model, batch.camera(0), tile_size=cfg.render.tile_size)
             if it % opt_cfg.opacity_reset_interval == 0:
                 model, opt_state = _reset_opacity_jit(model, opt_state)
         if it == total_iters:

@@ -78,11 +78,11 @@ class TestTracedFlagCoarseStep:
                 jnp.int32(1), table_T, table_R, jnp.int32(0),
                 jnp.int32(it), jnp.int32(0))
 
-        m1, o1, p1, po1, loss1, radii1, drop1 = coarse_step(
+        m1, o1, p1, po1, loss1, radii1, drop1, _ = coarse_step(
             *args, train_pose=train_pose, first_frame=first_frame,
             grad_params=grad_params, **kw
         )
-        m2, o2, p2, po2, loss2, radii2, drop2 = coarse_step_traced(
+        m2, o2, p2, po2, loss2, radii2, drop2, _ = coarse_step_traced(
             *args,
             train_pose=jnp.asarray(train_pose),
             first_frame=jnp.asarray(first_frame),
@@ -272,7 +272,7 @@ class TestMultiSceneCoarseStep:
         )
         m2, o2, p2, po2, loss2, radii2, drop2 = out
         for i in range(2):
-            m1, o1, p1, po1, loss1, radii1, drop1 = singles[i]
+            m1, o1, p1, po1, loss1, radii1, drop1, _ = singles[i]
             np.testing.assert_allclose(float(loss2[i]), float(loss1),
                                        rtol=1e-5)
             mi = unstack_scenes(m2, 2)[i]

@@ -127,7 +127,7 @@ class TestMultiSceneFineStep:
         )
         m2, o2, s2, po2, loss2, radii2, drop2 = out
         for i in range(2):
-            m1, o1, s1, po1, loss1, radii1, drop1 = singles[i]
+            m1, o1, s1, po1, loss1, radii1, drop1, _ = singles[i]
             np.testing.assert_allclose(float(loss2[i]), float(loss1),
                                        rtol=1e-5)
             mi = unstack_scenes(m2, 2)[i]

@@ -329,7 +329,7 @@ class TestPoseStep:
         loss0 = None
         m = model
         for it in range(300):
-            m, opt_state, pose, pose_opt, loss, _, _ = pose_step(
+            m, opt_state, pose, pose_opt, loss, _, _, _ = pose_step(
                 m, opt_state, pose, pose_opt, batch, jnp.int32(0),
                 jnp.eye(4), jnp.eye(3), lr_zero,
                 jnp.float32(1e-2), jnp.float32(1e-2), jnp.asarray(False),
@@ -357,7 +357,7 @@ class TestPoseStep:
         pose_opt = adam_init(pose)
         opt_state = adam_init(model.params)
         lr_zero = jax.tree_util.tree_map(lambda x: jnp.float32(0.0), model.params)
-        m, _, pose2, _, loss, _, _ = pose_step(
+        m, _, pose2, _, loss, _, _, _ = pose_step(
             model, opt_state, pose, pose_opt, batch, jnp.int32(0),
             jnp.eye(4), jnp.eye(3), lr_zero,
             jnp.float32(1e-3), jnp.float32(1e-3), jnp.asarray(False),
