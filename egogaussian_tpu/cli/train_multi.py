@@ -319,7 +319,11 @@ def main(argv=None):
                 os.path.join(fdir, "obj_pose_sequence.npz"))
             dyn_mask = np.zeros(len(scene.cameras), bool)
             for g in dynamic_groups_all[i]:
-                dyn_mask[np.asarray(g, int)] = True
+                # span, not membership: groups exclude held-out interior
+                # eval frames, which interpolation must fill (see
+                # pipeline.py stage 4)
+                idx = np.asarray(g, int)
+                dyn_mask[idx.min(): idx.max() + 1] = True
             dyn_mask |= np.asarray(seq_v.solved)
             interp = interpolate_pose_sequence(seq_v, dyn_mask)
             idir = os.path.join(

@@ -82,12 +82,37 @@ def export_colmap_dataset(vid: SyntheticVideo, out_dir: str) -> str:
 
     names = vid.image_names
     split = os.path.join(out_dir, "split")
+    # Interior holdouts, excluded from training (reference protocol: the
+    # shipped split files hold out interior frames and the trainers consume
+    # ONLY training_frames — /root/reference/train.py:54-73). Two defects in
+    # the old split here: (a) static_eval was the LAST video frame, i.e.
+    # extrapolation past the camera-trajectory end (structurally ~22-24 dB
+    # regardless of view density), and (b) the dynamic_eval frame stayed in
+    # training_frames, so dynamic_eval scored a trained view. A held-out
+    # interior dynamic frame gets its pose from stage-4 interpolation
+    # (interpolate_pose_sequence splits the next solved delta by N-th root),
+    # so it needs solved neighbors on BOTH sides -> only hold one out when
+    # the dynamic phase has >= 3 frames. Tiny test videos (d<3 / short final
+    # static phase) keep the legacy split byte-for-byte.
+    d0, d1 = vid.dynamic_phases[0]
+    s0, s1 = vid.static_phases[-1]
+    excluded = set()
+    if d1 - d0 + 1 >= 3:
+        dyn_eval = d0 + (d1 - d0) // 2
+        excluded.add(dyn_eval)
+    else:
+        dyn_eval = d0
+    if s1 - s0 + 1 >= 3:
+        stat_eval = s0 + (s1 - s0) // 2
+    else:
+        stat_eval = s1
+    excluded.add(stat_eval)
     with open(os.path.join(split, "training_frames.txt"), "w") as f:
-        f.write("\n".join(names[:-1]) + "\n")
+        f.write("\n".join(n for i, n in enumerate(names) if i not in excluded) + "\n")
     with open(os.path.join(split, "dynamic_eval_frames.txt"), "w") as f:
-        f.write(names[vid.dynamic_phases[0][0]] + "\n")
+        f.write(names[dyn_eval] + "\n")
     with open(os.path.join(split, "static_eval_frames.txt"), "w") as f:
-        f.write(names[-1] + "\n")
+        f.write(names[stat_eval] + "\n")
     with open(os.path.join(split, "phase_frame_index.txt"), "w") as f:
         phases = []
         for s, d in zip(vid.static_phases, vid.dynamic_phases):

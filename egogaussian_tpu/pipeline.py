@@ -227,7 +227,13 @@ def _run_pipeline_stages(
     for variant, (seq_v, _) in fine_results.items():
         dyn_mask = np.zeros(len(cameras), bool)
         for g in dynamic_groups:
-            dyn_mask[np.asarray(g, int)] = True
+            # span, not membership: dynamic_groups are filtered by
+            # training_frames, so a held-out interior eval frame is absent
+            # from the group — but it is exactly the frame interpolation
+            # must fill (reference interpolate_pose.py:65-116 walks the
+            # whole dynamic phase range from the phase index file)
+            idx = np.asarray(g, int)
+            dyn_mask[idx.min(): idx.max() + 1] = True
         # also the next-static anchor frames are solved; include them
         dyn_mask |= np.asarray(seq_v.solved)
         interp[variant] = interpolate_pose_sequence(seq_v, dyn_mask)

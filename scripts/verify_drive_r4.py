@@ -70,7 +70,7 @@ def main():
 
     vid = make_synthetic_video(
         width=96, height=72, n_bg=300, n_obj=60,
-        frames_static=3, frames_dynamic=2,
+        frames_static=3, frames_dynamic=3,
     )
     scene = SceneData(
         cameras=vid.cameras, points=vid.points, colors=vid.colors,
@@ -81,11 +81,20 @@ def main():
     names = vid.image_names
     os.makedirs(a.out, exist_ok=True)
 
+    # Interior-holdout split (export_colmap's fixed reference-protocol
+    # split): held-out dynamic frame mid-phase — the coarse chain must
+    # bridge the gap and stage-4 interpolation must pose the eval frame.
+    d0, d1 = vid.dynamic_phases[0]
+    s0, s1 = vid.static_phases[-1]
+    dyn_eval = d0 + (d1 - d0) // 2
+    stat_eval = s0 + (s1 - s0) // 2
+    train = [n for i, n in enumerate(names) if i not in (dyn_eval, stat_eval)]
+
     result = run_pipeline(
         scene, cfg, a.out,
-        training_frames=names[:-1],
-        dynamic_eval_frames=[names[3]],
-        static_eval_frames=[names[-1]],
+        training_frames=train,
+        dynamic_eval_frames=[names[dyn_eval]],
+        static_eval_frames=[names[stat_eval]],
         static_phases=vid.static_phases,
         dynamic_phases=vid.dynamic_phases,
         resume=True,

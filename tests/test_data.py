@@ -174,6 +174,45 @@ class TestSynthetic:
         np.testing.assert_allclose(vid.gt_obj_deltas[0], np.eye(4))
         assert not np.allclose(vid.gt_obj_deltas[3], np.eye(4))
 
+    def test_export_split_interior_holdouts(self, tmp_path):
+        # Reference-protocol split: interior eval frames, EXCLUDED from
+        # training (ref train.py:54-73 trains only training_frames). Guards
+        # against the two r4 defects: static_eval at the trajectory end
+        # (extrapolation-capped PSNR) and dynamic_eval scoring a trained view.
+        from egogaussian_tpu.data.export_colmap import export_colmap_dataset
+
+        vid = make_synthetic_video(frames_static=4, frames_dynamic=3,
+                                   n_bg=40, n_obj=15, width=32, height=24)
+        export_colmap_dataset(vid, str(tmp_path))
+        rd = lambda n: (tmp_path / "split" / n).read_text().split()
+        train = rd("training_frames.txt")
+        dyn = rd("dynamic_eval_frames.txt")
+        stat = rd("static_eval_frames.txt")
+        names = vid.image_names
+        d0, d1 = vid.dynamic_phases[0]
+        s0, s1 = vid.static_phases[-1]
+        # interior: strictly inside their phases (not first/last video frame)
+        assert dyn == [names[d0 + (d1 - d0) // 2]]
+        assert stat == [names[s0 + (s1 - s0) // 2]]
+        assert stat[0] != names[-1]
+        # excluded from training; everything else present
+        assert dyn[0] not in train and stat[0] not in train
+        assert set(train) | set(dyn) | set(stat) == set(names)
+
+    def test_export_split_tiny_video_legacy(self, tmp_path):
+        # d<3 / short final static phase: legacy split byte-for-byte (a
+        # held-out dynamic frame needs solved neighbors on both sides).
+        from egogaussian_tpu.data.export_colmap import export_colmap_dataset
+
+        vid = make_synthetic_video(frames_static=2, frames_dynamic=2,
+                                   n_bg=30, n_obj=10, width=32, height=24)
+        export_colmap_dataset(vid, str(tmp_path))
+        rd = lambda n: (tmp_path / "split" / n).read_text().split()
+        names = vid.image_names
+        assert rd("training_frames.txt") == names[:-1]
+        assert rd("dynamic_eval_frames.txt") == [names[vid.dynamic_phases[0][0]]]
+        assert rd("static_eval_frames.txt") == [names[-1]]
+
     def test_object_moves_in_dynamic_phase(self):
         vid = make_synthetic_video(frames_static=3, frames_dynamic=2,
                                    n_bg=40, n_obj=15, width=32, height=24)

@@ -123,3 +123,48 @@ def test_full_pipeline(scene_and_phases, tmp_path_factory):
         resume=True,
     )
     assert int(result2.final_model.num_alive) > 0
+
+
+@pytest.mark.slow
+def test_pipeline_interior_dynamic_holdout(tmp_path_factory):
+    """Reference-protocol split through the whole pipeline: an INTERIOR
+    dynamic frame held out of training (export_colmap's fixed split). The
+    coarse chain must solve across the 2-video-frame gap, and stage-4
+    interpolation (interpolate_pose_sequence N-th-root contract,
+    models/pose.py:211) must fill the held-out frame's pose so dynamic_eval
+    renders at a non-identity object pose."""
+    vid = make_synthetic_video(
+        width=48, height=36, n_bg=120, n_obj=30,
+        frames_static=3, frames_dynamic=3,
+    )
+    scene = SceneData(
+        cameras=vid.cameras,
+        points=vid.points,
+        colors=vid.colors,
+        nerf_norm=compute_nerfpp_norm(vid.cameras),
+        image_names=vid.image_names,
+    )
+    names = vid.image_names
+    d0, d1 = vid.dynamic_phases[0]
+    s0, s1 = vid.static_phases[-1]
+    dyn_eval = d0 + (d1 - d0) // 2          # interior dynamic frame
+    stat_eval = s0 + (s1 - s0) // 2         # interior static frame
+    train = [n for i, n in enumerate(names) if i not in (dyn_eval, stat_eval)]
+    save_dir = str(tmp_path_factory.mktemp("pipeline_holdout"))
+    result = run_pipeline(
+        scene, tiny_config(), save_dir,
+        training_frames=train,
+        dynamic_eval_frames=[names[dyn_eval]],
+        static_eval_frames=[names[stat_eval]],
+        static_phases=vid.static_phases,
+        dynamic_phases=vid.dynamic_phases,
+    )
+    # the held-out frame got a pose from interpolation, and it is not the
+    # identity (the object genuinely moves every dynamic frame)
+    solved = np.asarray(result.pose_seq.solved)
+    assert solved[dyn_eval]
+    delta = np.asarray(result.pose_seq.deltas()[dyn_eval])
+    assert np.abs(delta - np.eye(4)).max() > 1e-4
+    # eval buckets produced finite metrics for both held-out frames
+    assert np.isfinite(result.metrics["dynamic_eval"]["psnr"])
+    assert np.isfinite(result.metrics["static_eval"]["psnr"])
