@@ -37,6 +37,7 @@ from argparse import ArgumentParser
 from egogaussian_tpu.config import add_config_args, extract_config, save_config
 from egogaussian_tpu.data.readers import (
     load_colmap_scene,
+    phase_membership_mask,
     read_phase_index,
     read_split_file,
     split_viewpoints_by_phase,
@@ -317,13 +318,10 @@ def main(argv=None):
             fdir = os.path.join(outs[i], "fine_obj", variant)
             seq_v, _ = load_pose_sequence(
                 os.path.join(fdir, "obj_pose_sequence.npz"))
-            dyn_mask = np.zeros(len(scene.cameras), bool)
-            for g in dynamic_groups_all[i]:
-                # span, not membership: groups exclude held-out interior
-                # eval frames, which interpolation must fill (see
-                # pipeline.py stage 4)
-                idx = np.asarray(g, int)
-                dyn_mask[idx.min(): idx.max() + 1] = True
+            # full phase-range membership, incl. held-out frames and phase
+            # endpoints absent from the training-filtered groups (see
+            # pipeline.py stage 4 / reference interpolate_pose.py:92-99)
+            dyn_mask = phase_membership_mask(scene.cameras, splits[i][4])
             dyn_mask |= np.asarray(seq_v.solved)
             interp = interpolate_pose_sequence(seq_v, dyn_mask)
             idir = os.path.join(

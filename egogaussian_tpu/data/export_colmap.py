@@ -92,8 +92,14 @@ def export_colmap_dataset(vid: SyntheticVideo, out_dir: str) -> str:
     # interior dynamic frame gets its pose from stage-4 interpolation
     # (interpolate_pose_sequence splits the next solved delta by N-th root),
     # so it needs solved neighbors on BOTH sides -> only hold one out when
-    # the dynamic phase has >= 3 frames. Tiny test videos (d<3 / short final
-    # static phase) keep the legacy split byte-for-byte.
+    # the dynamic phase has >= 3 frames. The two fallbacks are INDEPENDENT:
+    # d<3 keeps dynamic_eval at the phase's first frame WITHOUT excluding it
+    # (dynamic_eval then scores a trained view — defect (b) persists for
+    # tiny dynamic phases, by necessity); s<3 falls back to the last static
+    # frame (excluded, as the legacy split also did). Only when BOTH fall
+    # back (d<3 AND s<3) is the legacy split reproduced byte-for-byte; a
+    # mixed case (e.g. d<3, s>=3) yields a CHANGED split with an interior
+    # static holdout while dynamic_eval still scores a trained view.
     d0, d1 = vid.dynamic_phases[0]
     s0, s1 = vid.static_phases[-1]
     excluded = set()

@@ -77,6 +77,28 @@ def split_viewpoints_by_phase(
     return out
 
 
+def phase_membership_mask(
+    cameras: Sequence[Camera], phases: Sequence[Tuple[int, int]]
+) -> "np.ndarray":
+    """Boolean mask over `cameras` whose frame number falls inside any of the
+    inclusive [start, end] phase ranges — UNFILTERED by training_frames.
+
+    Stage-4 interpolation must fill every frame of each dynamic phase,
+    including held-out eval frames that are absent from the training-filtered
+    viewpoint groups (the reference walks the full phase range from
+    phase_frame_index.txt — trainers/interpolate_pose.py:92-99); a
+    group-index-span approximation misses a held-out FIRST or LAST frame of
+    a phase."""
+    mask = np.zeros(len(cameras), bool)
+    for i, cam in enumerate(cameras):
+        num = frame_number(cam.image_name)
+        if num is None:
+            continue
+        if any(start <= num <= end for start, end in phases):
+            mask[i] = True
+    return mask
+
+
 def find_idx_by_image_name(cameras: Sequence[Camera], image_name: str) -> int:
     """Index of the camera with a given image name (reference
     find_idx_by_image_name, utils/dynamic_utils.py:10); -1 if absent."""

@@ -28,6 +28,7 @@ import numpy as np
 from egogaussian_tpu.config import Config
 from egogaussian_tpu.data.readers import (
     SceneData,
+    phase_membership_mask,
     split_viewpoints_by_phase,
 )
 from egogaussian_tpu.models.gaussians import GaussianModel, load_ply
@@ -114,14 +115,14 @@ def run_pipeline(
             scene, cfg, save_dir, cameras, extent, static_groups,
             dynamic_groups, training_frames, dynamic_eval_frames,
             static_eval_frames, seed, backend, resume, lpips_fn,
-            fine_variant, checkpoint_every, mesh,
+            fine_variant, checkpoint_every, mesh, dynamic_phases,
         )
 
 
 def _run_pipeline_stages(
     scene, cfg, save_dir, cameras, extent, static_groups, dynamic_groups,
     training_frames, dynamic_eval_frames, static_eval_frames, seed, backend,
-    resume, lpips_fn, fine_variant, checkpoint_every, mesh,
+    resume, lpips_fn, fine_variant, checkpoint_every, mesh, dynamic_phases,
 ) -> PipelineResult:
 
     # ---- Stage 1.0: static phases (EVERY phase, re-initialized per phase —
@@ -225,15 +226,12 @@ def _run_pipeline_stages(
     # ---- Stage 4: interpolate missing poses (both variants) ----
     interp: Dict[str, PoseSequence] = {}
     for variant, (seq_v, _) in fine_results.items():
-        dyn_mask = np.zeros(len(cameras), bool)
-        for g in dynamic_groups:
-            # span, not membership: dynamic_groups are filtered by
-            # training_frames, so a held-out interior eval frame is absent
-            # from the group — but it is exactly the frame interpolation
-            # must fill (reference interpolate_pose.py:65-116 walks the
-            # whole dynamic phase range from the phase index file)
-            idx = np.asarray(g, int)
-            dyn_mask[idx.min(): idx.max() + 1] = True
+        # Full phase-range membership (not the training-filtered group span):
+        # interpolation must fill EVERY frame of each dynamic phase, incl.
+        # held-out eval frames and phase endpoints absent from the groups
+        # (reference interpolate_pose.py:92-99 walks the whole dynamic phase
+        # range from the phase index file).
+        dyn_mask = phase_membership_mask(cameras, dynamic_phases)
         # also the next-static anchor frames are solved; include them
         dyn_mask |= np.asarray(seq_v.solved)
         interp[variant] = interpolate_pose_sequence(seq_v, dyn_mask)

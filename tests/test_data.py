@@ -137,6 +137,31 @@ class TestSplits:
         )
         assert groups_f[0] == [0, 2]
 
+    def test_phase_membership_mask_covers_heldout_endpoints(self):
+        # A held-out FIRST/LAST frame of a dynamic phase is absent from the
+        # training-filtered group, but stage-4 interpolation must still fill
+        # it (reference interpolate_pose.py:92-99 walks the full phase
+        # range) — the old group-index-span mask missed exactly this case.
+        from egogaussian_tpu.data.readers import phase_membership_mask
+
+        import types
+        cams = [types.SimpleNamespace(image_name=f"{i:06d}") for i in range(10)]
+        phases = [(3, 6)]
+        mask = phase_membership_mask(cams, phases)
+        assert list(np.nonzero(mask)[0]) == [3, 4, 5, 6]
+        # group filtered by a whitelist that holds out the phase's first
+        # frame: the span of the group would start at 4 — membership must not
+        train = [f"{i:06d}" for i in range(10) if i != 3]
+        grp = split_viewpoints_by_phase(cams, phases, train)
+        assert grp[0] == [4, 5, 6]  # the defective span would be [4..6]
+        assert mask[3]  # the fixed mask includes the held-out endpoint
+        # an empty group (whole phase held out) is simply absent from the
+        # mask path — no ValueError (ADVICE r4 low #2)
+        grp_empty = split_viewpoints_by_phase(cams, [(20, 22)], train)
+        assert grp_empty[0] == []
+        mask2 = phase_membership_mask(cams, [(20, 22)])
+        assert not mask2.any()
+
 
 class TestHelpers:
     def test_compute_resolution(self):
