@@ -109,10 +109,16 @@ def crop_window(
 
     Returns:
       (ox, oy): i32 scalars, window origin, clipped to stay inside the frame
-      outside: i32 scalar — number of splats whose in-frame opacity-aware
-        reach escapes the window, PLUS 1 if `rect` itself escapes. 0 means
-        the cropped render's loss (sum-normalized by the full frame) is
-        exactly the full-frame loss.
+      outside: i32[3] — [escape_count, need_w, need_h].
+        escape_count: number of splats whose in-frame opacity-aware reach
+        escapes the window, PLUS 1 if `rect` itself escapes. 0 means the
+        cropped render's loss (sum-normalized by the full frame) is exactly
+        the full-frame loss. need_w/need_h: the window size per axis that
+        provably covers the CURRENT support under this placement scheme
+        (extent + 2*align slack absorbing the origin snap/clip) — the
+        host's growth response reads these to grow only the axis that
+        actually escaped (a symmetric grow at small frames crosses the
+        disable bound immediately; see train/common.maybe_grow_crop).
     """
     assert crop_w <= width and crop_h <= height, "crop larger than frame"
     sg = jax.lax.stop_gradient
@@ -171,7 +177,15 @@ def crop_window(
             | (rect[2] > oxf + crop_w) | (rect[3] > oyf + crop_h)
         ) & (rect[2] > rect[0])  # empty rect never escapes
         outside = outside + rect_esc.astype(jnp.int32)
-    return ox, oy, outside
+    # Minimum per-axis window size that covers the current support under
+    # centering + snap-down-by-<align + frame-edge clip: extent + 2*align.
+    need_w = jnp.where(
+        sx1 >= sx0, jnp.ceil(sx1 - sx0 + 1.0) + 2 * align, 0.0
+    ).astype(jnp.int32)
+    need_h = jnp.where(
+        sy1 >= sy0, jnp.ceil(sy1 - sy0 + 1.0) + 2 * align, 0.0
+    ).astype(jnp.int32)
+    return ox, oy, jnp.stack([outside, need_w, need_h])
 
 
 def crop_plane(plane: jnp.ndarray, ox, oy, crop_w: int, crop_h: int):

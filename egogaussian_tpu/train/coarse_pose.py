@@ -61,6 +61,7 @@ from egogaussian_tpu.models.pose import (
 from egogaussian_tpu.ops.losses import l1_loss, l2_loss
 from egogaussian_tpu.train.common import (
     auto_tile_config,
+    crop_escape_count,
     image_loss,
     pick_backend,
     mask_grad,
@@ -489,7 +490,9 @@ def estimate_coarse_obj_pose(
 
     drop_max = jnp.int32(0)
     last_drop = 0
-    crop_max = jnp.int32(0)
+    # [count, need_w, need_h] when crop is active (render/crop.crop_window)
+    crop_max = (jnp.zeros((3,), jnp.int32) if crop_size is not None
+                else jnp.int32(0))
     last_crop = 0
     for phase, dyn_frames in enumerate(dynamic_phase_frames):
         # append first frame of the next static phase (coarse_obj_pose.py:137)
@@ -605,11 +608,14 @@ def estimate_coarse_obj_pose(
                         crop_size, crop_max, last_crop, batch, "coarse",
                     )
                     if cchanged:
-                        crop_max = jnp.int32(0)
+                        crop_max = (jnp.zeros((3,), jnp.int32)
+                                    if crop_size is not None
+                                    else jnp.int32(0))
                     log_metrics(
                         "coarse", it, frame=f_cur, loss=loss,
                         alive=model.num_alive, capacity=model.capacity,
-                        dropped_pairs=drop_max, crop_escapes=crop_max,
+                        dropped_pairs=drop_max,
+                        crop_escapes=crop_escape_count(crop_max),
                     )
 
                 # --- densification window (coarse_obj_pose.py:324-337) ---
@@ -668,9 +674,10 @@ def estimate_coarse_obj_pose(
                     )
 
     _log_dropped_pairs("coarse", None, drop_max)
-    if crop_size is not None and int(crop_max):
+    if crop_size is not None and crop_escape_count(crop_max):
         CONSOLE.log(
-            f"[coarse] WARNING — up to {int(crop_max)} splats/render escaped "
+            f"[coarse] WARNING — up to {crop_escape_count(crop_max)} "
+            "splats/render escaped "
             "the crop window since the last growth (their out-of-window "
             "gradients were lost; window grows automatically at the next "
             "densify-interval check)"

@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from egogaussian_tpu.models.gaussians import GaussianModel
 from egogaussian_tpu.models.optim import AdamState
@@ -259,25 +260,51 @@ def pose_crop_size(batch, cfg, stage: str):
     return (cw, ch)
 
 
+def crop_escape_count(crop_out_max) -> int:
+    """Escape count from the device-tracked crop stat — i32[3]
+    [count, need_w, need_h] when crop is active, scalar 0 otherwise."""
+    a = np.asarray(crop_out_max)
+    return int(a[0]) if a.ndim else int(a)
+
+
 def maybe_grow_crop(crop_size, crop_out_max, last_crop_out, batch, stage: str):
     """Coverage-escape response, called at host-sync boundaries with the
-    device running-max escape count (render/crop.py crop_window). Escaped
-    splats lose their out-of-window gradient, so (same discipline as
-    dropped-pair capacity regrowth) the window GROWS by 128x64 px — one
-    recompile — until it covers, degenerating to full-frame (None) when
-    no smaller window fits. Returns (crop_size, last_crop_out, changed)."""
+    device running-max crop stat ([escape_count, need_w, need_h] from
+    render/crop.py crop_window). Escaped splats lose their out-of-window
+    gradient, so (same discipline as dropped-pair capacity regrowth) the
+    window GROWS — one recompile — until it covers. Growth is DIRECTIONAL:
+    only the axis whose tracked need exceeds the current size grows (to the
+    need, rounded up to the 128/8 sizing multiples); a symmetric grow at
+    small frames crosses the 80%-area disable bound immediately and loses
+    the win exactly on the runs that matter (observed r4: 512x384 of
+    640x480 escaped in height only — 512x448 at 75% area still crops, the
+    old symmetric response disabled). Degenerates to full-frame (None) only
+    when no covering window stays under 80% of the frame.
+    Returns (crop_size, last_crop_out, changed)."""
     if crop_size is None:
         return None, last_crop_out, False
-    c = int(crop_out_max)
+    stat = np.asarray(crop_out_max)
+    c = int(stat[0]) if stat.ndim else int(stat)
     if c <= last_crop_out:
         return crop_size, last_crop_out, False
     w, h = batch.width, batch.height
-    cw = min(crop_size[0] + 128, w)
-    ch = min(crop_size[1] + 64, h)
+    need_w = int(stat[1]) if stat.ndim else 0
+    need_h = int(stat[2]) if stat.ndim else 0
+    cw, ch = crop_size
+    if need_w > cw:
+        cw = min(-(-need_w // 128) * 128, w)
+    if need_h > ch:
+        ch = min(-(-need_h // 8) * 8, h)
+    if (cw, ch) == tuple(crop_size):
+        # escapes without a tracked need excess (stale stat vector or a
+        # clip corner case) — fall back to one symmetric granule
+        cw = min(cw + 128, w)
+        ch = min(ch + 64, h)
     if cw * ch >= 0.8 * w * h:
         CONSOLE.log(
             f"[{stage}] {c} splats escaped the {crop_size[0]}x{crop_size[1]} "
-            f"crop window — disabling crop (full-frame rendering)"
+            f"crop window (need {need_w}x{need_h}) — disabling crop "
+            f"(full-frame rendering)"
         )
         return None, 0, True
     CONSOLE.log(

@@ -226,7 +226,9 @@ def fine_tune_obj(
 
     drop_max = jnp.int32(0)
     last_drop = 0
-    crop_max = jnp.int32(0)
+    # [count, need_w, need_h] when crop is active (render/crop.crop_window)
+    crop_max = (jnp.zeros((3,), jnp.int32) if crop_size is not None
+                else jnp.int32(0))
     last_crop = 0
     for it in range(start_it + 1, fp.total_num_iter + 1):
         if it == 1:
@@ -260,11 +262,14 @@ def fine_tune_obj(
                 crop_size, crop_max, last_crop, batch, "fine_obj",
             )
             if cchanged:
-                crop_max = jnp.int32(0)
+                crop_max = (jnp.zeros((3,), jnp.int32)
+                            if crop_size is not None else jnp.int32(0))
+            from egogaussian_tpu.train.common import crop_escape_count
+
             log_metrics(
                 "fine_obj", it, loss=loss, alive=model.num_alive,
                 capacity=model.capacity, dropped_pairs=drop_max,
-                crop_escapes=crop_max,
+                crop_escapes=crop_escape_count(crop_max),
             )
         if it < fp.densify_until_iter and it > fp.densify_from_iter:
             if it % fp.densification_interval == 0:

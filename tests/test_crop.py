@@ -74,7 +74,10 @@ class TestCropWindow:
         crop = jax.jit(
             lambda: render(backend=backend, crop_size=(cw, ch), **kw)
         )()
-        assert int(crop.crop_outside) == 0, "object must fit the window"
+        assert int(crop.crop_outside[0]) == 0, "object must fit the window"
+        # the tracked per-axis need fits the window that produced 0 escapes
+        assert int(crop.crop_outside[1]) <= cw + 2 * 32
+        assert int(crop.crop_outside[2]) <= ch + 2 * 32
         ox, oy = int(crop.crop_offset[0]), int(crop.crop_offset[1])
         assert crop.image.shape[1:] == (ch, cw)
         np.testing.assert_allclose(
@@ -103,7 +106,9 @@ class TestCropWindow:
             lambda: render(crop_size=(48, 48), crop_rect=rect,
                            backend="tiled", **kw)
         )()
-        assert int(out.crop_outside) > 0
+        assert int(out.crop_outside[0]) > 0
+        # the need vector names a window size that covers object + rect
+        assert int(out.crop_outside[1]) > 48 or int(out.crop_outside[2]) > 48
 
     def test_crop_window_centers_on_support(self, video):
         model = object_model(video)
@@ -120,7 +125,7 @@ class TestCropWindow:
             proj, kw["opacities"], kw["valid_mask"], None,
             128, 96, cam.width, cam.height,
         )
-        assert int(outside) == 0
+        assert int(np.asarray(outside)[0]) == 0
         # every in-frame splat reach must be inside the window
         mu = np.asarray(proj.means2d)
         ok = np.asarray(proj.radii) > 0
@@ -153,7 +158,8 @@ class TestPoseCoreCrop:
     def test_crop_step_matches_full(self, video, grad_params):
         full = self._step(video, None, grad_params=grad_params)
         crop = self._step(video, (128, 96), grad_params=grad_params)
-        assert int(crop[7]) == 0, "coverage must hold for this scene"
+        assert int(np.asarray(crop[7]).ravel()[0]) == 0, \
+            "coverage must hold for this scene"
         # same loss (sum-normalized crop == full-frame mean)
         np.testing.assert_allclose(
             float(crop[4]), float(full[4]), rtol=1e-5
@@ -183,7 +189,8 @@ class TestPoseCoreCrop:
             opt = adam_init(m.params)
             lr = jax.tree_util.tree_map(lambda x: jnp.float32(1e-3), m.params)
             losses = []
-            crop_out = jnp.int32(0)
+            crop_out = (jnp.zeros((3,), jnp.int32) if cs is not None
+                        else jnp.int32(0))
             for _ in range(5):
                 m, opt, pose, pose_opt, loss, _, _, crop_out = pose_step(
                     m, opt, pose, pose_opt, batch, jnp.int32(1),
@@ -196,7 +203,7 @@ class TestPoseCoreCrop:
                 losses.append(float(loss))
             states[tag] = losses
             if cs is not None:
-                assert int(crop_out) == 0
+                assert int(np.asarray(crop_out)[0]) == 0
         np.testing.assert_allclose(
             states["crop"], states["full"], rtol=2e-5
         )
@@ -229,17 +236,49 @@ class TestDriverPolicies:
         batch = stack_cameras(video.cameras)
         from egogaussian_tpu.train.common import maybe_grow_crop
 
+        stat = lambda c, nw=0, nh=0: np.asarray([c, nw, nh], np.int32)
         # no escapes -> unchanged
-        cs, last, changed = maybe_grow_crop((128, 64), 0, 0, batch, "t")
+        cs, last, changed = maybe_grow_crop((128, 64), stat(0), 0, batch, "t")
         assert cs == (128, 64) and not changed
         # escapes -> grow (and reset baseline)
-        cs, last, changed = maybe_grow_crop((16, 16), 3, 0, batch, "t")
+        cs, last, changed = maybe_grow_crop((16, 16), stat(3), 0, batch, "t")
         assert changed and cs[0] > 16 and last == 0
         # growth lands at ~full frame -> disable
         cs, last, changed = maybe_grow_crop(
-            (batch.width - 1, batch.height - 1), 5, 0, batch, "t"
+            (batch.width - 1, batch.height - 1), stat(5), 0, batch, "t"
         )
         assert cs is None and changed
+
+    def test_maybe_grow_crop_directional(self):
+        # The r4 regression: at 640x480 a 512x384 window escaped in HEIGHT
+        # only; the old symmetric 128x64 grow reached 640x448 = 93% area
+        # and disabled. Directional growth to the tracked need must keep
+        # cropping (512x448 = 75% < 80% bound).
+        import types
+        from egogaussian_tpu.train.common import maybe_grow_crop
+
+        batch = types.SimpleNamespace(width=640, height=480)
+        stat = np.asarray([65, 0, 440], np.int32)  # height-only need
+        cs, last, changed = maybe_grow_crop((512, 384), stat, 0, batch, "t")
+        assert changed and cs is not None
+        assert cs[0] == 512 and cs[1] == 440 and last == 0
+        assert cs[0] * cs[1] < 0.8 * 640 * 480
+        # escape -> grow -> re-enable cycle: a later escape with a need that
+        # no window under the 80% bound satisfies finally disables
+        cs2, _, changed2 = maybe_grow_crop(
+            cs, np.asarray([3, 640, 480], np.int32), 0, batch, "t"
+        )
+        assert changed2 and cs2 is None
+        # width-only growth stays width-only
+        cs3, _, _ = maybe_grow_crop(
+            (256, 128), np.asarray([2, 300, 0], np.int32), 0, batch, "t"
+        )
+        assert cs3 == (384, 128)
+        # escapes with a stale/fitting need fall back to a symmetric bump
+        cs4, _, ch4 = maybe_grow_crop(
+            (256, 128), np.asarray([1, 100, 50], np.int32), 0, batch, "t"
+        )
+        assert ch4 and cs4 == (384, 192)
 
     def test_mask_rect_table_matches_single(self, video):
         batch = stack_cameras(video.cameras)
