@@ -1,0 +1,149 @@
+"""On-chip multi-scene proof (VERDICT r4 item 7).
+
+The multi-scene layer's claim — S videos for ~one video's wall-clock on a
+scene mesh — was CPU-equivalence-tested only. This script measures it on
+the real chip at the smallest honest scale: TWO synthetic videos through
+the REAL CLIs, (a) sequentially via `cli/train.py` (the reference's
+SLURM-job-per-video model, train.sh:13-19), (b) lockstep via
+`cli/train_multi.py --mesh 1x1` (both scenes vmapped into each device
+step). Each run is a fresh subprocess, so every path pays its own
+compiles exactly as a user would.
+
+On ONE chip the scene axis cannot scale wall-clock 1/S; the measured win
+comes from single-compile + batched dispatch (both scenes per kernel
+launch). The S-chips scaling path is certified by dryrun_multichip's
+scene-mesh steps; this closes the on-chip half of the claim.
+
+Output: val_runs/multi_proof_r5.json + per-video results.txt comparison.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+ROOT = "/root/repo"
+OUT = os.path.join(ROOT, "val_runs", "multi_proof_r5")
+K = int(os.environ.get("MP_SCALE", "32"))  # schedule divisor
+W, H = 320, 240
+
+
+def schedule_args():
+    mx = lambda v, m: str(max(v, m))
+    return [
+        "--checkpoint_every", "0",
+        "--densification_interval", mx(100 // K, 10),
+        "--opacity_reset_interval", mx(3000 // K, 100),
+        "--position_lr_max_steps", str(30000 // K),
+        "--s_std_train_iter", str(50000 // K),
+        "--s_entropy_reg_iter", str(10000 // K),
+        "--s_label_train_iter", str(30000 // K),
+        "--s_densify_until_iter", str(40000 // K),
+        "--b_std_train_iter", str(80000 // K),
+        "--b_entropy_reg_iter", str(10000 // K),
+        "--b_densify_until_iter", str(60000 // K),
+        "--c_warm_up_iter", str(20000 // K),
+        "--c_total_num_iter", str(30000 // K),
+        "--c_densify_from_iter", str(20500 // K),
+        "--c_densify_until_iter", str(25500 // K),
+        "--c_opacity_reset_interval", mx(2500 // K, 50),
+        "--c_densification_interval", mx(500 // K, 13),
+        "--f_total_num_iter", str(70000 // K),
+        "--f_densify_from_iter", mx(500 // K, 10),
+        "--f_densify_until_iter", str(45000 // K),
+        "--f_opacity_reset_interval", mx(3000 // K, 50),
+        "--f_densification_interval", mx(50 // K, 6),
+        "--a_total_num_iter", str(40000 // K),
+        "--a_densify_until_iter", str(5000 // K),
+        "--a_opacity_reset_interval", mx(3000 // K, 50),
+        "--backend", "auto",
+    ]
+
+
+_GEN_SNIPPET = """
+import sys
+sys.path.insert(0, "/root/repo")
+from egogaussian_tpu.data.export_colmap import export_colmap_dataset
+from egogaussian_tpu.data.synthetic import make_synthetic_video
+vid = make_synthetic_video(width={w}, height={h}, n_bg=1500, n_obj=200,
+                           frames_static=4, frames_dynamic=3, seed={seed})
+export_colmap_dataset(vid, {ds!r})
+"""
+
+
+def gen_datasets():
+    # NOTE: this parent process must never import jax — the axon TPU tunnel
+    # claim is exclusive and the training subprocesses below need it.
+    # Dataset generation therefore runs in its own (serialized) subprocess.
+    dsets = []
+    for i, seed in enumerate((11, 23)):
+        ds = os.path.join(OUT, f"video{i}", "dataset")
+        if not os.path.exists(os.path.join(ds, "sparse", "0", "points3D.bin")):
+            subprocess.run(
+                [sys.executable, "-c",
+                 _GEN_SNIPPET.format(w=W, h=H, seed=seed, ds=ds)],
+                check=True, cwd=ROOT)
+            print(f"dataset {i} exported to {ds}", flush=True)
+        dsets.append(ds)
+    return dsets
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    t0 = time.perf_counter()
+    subprocess.run(cmd, check=True, cwd=ROOT)
+    return time.perf_counter() - t0
+
+
+def read_results(out_dir):
+    path = os.path.join(out_dir, "evaluation", "results.txt")
+    return open(path).read() if os.path.exists(path) else None
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    dsets = gen_datasets()
+    py = sys.executable
+
+    rec = {"scale": K, "resolution": f"{W}x{H}",
+           "videos": 2, "mesh": "1x1 (single chip)"}
+
+    # (a) sequential cli/train — one subprocess per video, like the
+    # reference's one-SLURM-job-per-video train.sh
+    seq_times = []
+    for i, ds in enumerate(dsets):
+        out = os.path.join(OUT, f"video{i}", "out_seq")
+        seq_times.append(run(
+            [py, "-m", "egogaussian_tpu.cli.train", "-s", ds,
+             "--model_path", out, "--resume"] + schedule_args()))
+    rec["sequential_s"] = [round(t, 1) for t in seq_times]
+    rec["sequential_total_s"] = round(sum(seq_times), 1)
+
+    # (b) lockstep cli/train_multi — one subprocess, both videos
+    outs_multi = [os.path.join(OUT, f"video{i}", "out_multi")
+                  for i in range(2)]
+    t_multi = run(
+        [py, "-m", "egogaussian_tpu.cli.train_multi",
+         "--videos", *dsets, "--outputs", *outs_multi,
+         "--mesh", "1x1", "--resume"] + schedule_args())
+    rec["multi_total_s"] = round(t_multi, 1)
+    rec["speedup_vs_sequential"] = round(sum(seq_times) / t_multi, 3)
+
+    # per-video metric comparison (both paths ran the full pipeline + eval)
+    for i in range(2):
+        rec[f"video{i}_seq_results"] = read_results(
+            os.path.join(OUT, f"video{i}", "out_seq"))
+        rec[f"video{i}_multi_results"] = read_results(outs_multi[i])
+
+    with open(os.path.join(ROOT, "val_runs", "multi_proof_r5.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({k: v for k, v in rec.items()
+                      if not k.endswith("_results")}, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
