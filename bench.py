@@ -50,6 +50,14 @@ BENCH_FLAG = "/tmp/bench_wants_tpu"
 CLAIM_TIMEOUT_S = int(os.environ.get("BENCH_CLAIM_TIMEOUT_S", "420"))
 BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "1560"))
 
+# The r4 bench went partial:true at the 1560 s watchdog — the budget is
+# dominated by RELAY COMPILES (60-150 s per distinct program over the
+# tunnel), not by measurement. A persistent compilation cache makes every
+# re-run reuse the compiled programs, so `partial` becomes the exception
+# (first run after a kernel change still pays full compiles).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+
 _RECORD = {}  # progressively filled by main(); dumped by the watchdog
 
 
@@ -231,9 +239,120 @@ def _step_bytes_estimate(n, tile_cfg, width, height, d=3):
     return b
 
 
+# Per-(pair, pixel) VPU f32 op counts of the tilegrid kernels, itemized
+# from render/pallas_raster.py (mxu_accum=True, so the d+2 accumulation
+# matmuls ride the MXU and are NOT counted here):
+#   forward  (_tilegrid_fwd_kernel.process): dx/dy 2, quadratic form 9,
+#     min 1, exp ~6 (transcendental op-equivalents), op-mul+clamp+
+#     threshold 4, 1-alpha 1, lane prefix-product 7 (shift-mult doubling,
+#     log2(128)), w 2, T_carry 1                                  => ~33
+#   backward (_tilegrid_bwd_kernel, single-sweep default): repeats the
+#     value path (~33) + S/dalpha (2 + divide ~7), gate 3, dpower 1,
+#     ddx/ddy 6, six per-pair sublane reductions ~6, dop ~2       => ~60
+# One train step runs fwd once inside value_and_grad's forward and the
+# backward kernel once                                             => ~93
+VPU_OPS_PER_EVAL = {"fwd": 33, "bwd": 60, "step": 93}
+
+
+def _vpu_peak_gflops(n_loop=120_000, rows=256):
+    """EMPIRICAL single-core VPU f32 peak: a Pallas kernel that chains
+    n_loop dependent vectorized FMAs on a [rows, 128] VMEM block — pure
+    ALU work, no memory traffic, no transcendentals. The achieved rate is
+    the practical peak the compute-utilization figure is measured against
+    (a spec-sheet VPU number for v5e is not public; this measures it)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    interpret = jax.default_backend() != "tpu"
+    if interpret:  # CPU interpret executes per-op python — keep it tiny
+        n_loop = 64
+
+    def kern(x_ref, o_ref):
+        def body(i, x):
+            return x * 1.0000001 + 1e-9
+
+        o_ref[...] = jax.lax.fori_loop(0, n_loop, body, x_ref[...])
+
+    x = jnp.ones((rows, 128), jnp.float32)
+    call = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        interpret=interpret,
+    )
+    f = jax.jit(call)
+    jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = f(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    flops = rows * 128 * n_loop * 2  # FMA = 2 flops
+    return flops / dt / 1e9
+
+
+def _compute_utilization(model, width, height, ips, tile_cfg=None):
+    """Compute-side grounding of the headline (VERDICT r4 item 4): the
+    kernel pair is VPU-compute-bound (evidence/onchip_r5/profile_ts32.json
+    — its DMA is ~11 us vs ~11 ms of compute), so the right denominator is
+    VPU throughput, not HBM bandwidth. Reports the model-free pair-pixel
+    eval rate plus achieved VPU GFLOP/s under the itemized op model above,
+    against the EMPIRICALLY measured FMA peak."""
+    import jax
+    import jax.numpy as jnp
+
+    from egogaussian_tpu.render.project import project_gaussians
+    from egogaussian_tpu.render.tiled import bin_pairs
+
+    from egogaussian_tpu.data import make_synthetic_video, stack_cameras
+
+    vid = make_synthetic_video(width=width, height=height, n_bg=16, n_obj=8,
+                               frames_static=2, frames_dynamic=1)
+    cam = stack_cameras(vid.cameras[:1]).camera(0)
+    if tile_cfg is None:
+        from egogaussian_tpu.train.common import auto_tile_config
+
+        # same estimate the throughput timer uses
+        tile_cfg = auto_tile_config(model, cam, headroom=1.5)
+
+    @jax.jit
+    def pair_count(m):
+        proj = project_gaussians(
+            m.params.xyz, m.covariance(), cam.viewmat, cam.fx, cam.fy,
+            cam.cx, cam.cy, width, height, valid_mask=m.aux.alive,
+        )
+        _, _, tile_sorted, _, tile_cnt, _, _ = bin_pairs(
+            proj, width, height, tile_cfg,
+            opacities=jnp.where(m.aux.alive, m.opacity, 0.0),
+        )
+        return jnp.sum(tile_cnt)
+
+    pairs = int(pair_count(model))
+    ts = tile_cfg.tile_size
+    evals_per_step = pairs * ts * ts  # one kernel sweep
+    eval_rate = evals_per_step * ips  # fwd-sweep evals/s at the measured ips
+    achieved_gflops = eval_rate * VPU_OPS_PER_EVAL["step"] / 1e9
+    peak = _vpu_peak_gflops()
+    return {
+        "pairs_per_render": pairs,
+        "pair_pixel_evals_per_step": evals_per_step,
+        "pair_pixel_evals_per_sec": round(eval_rate / 1e9, 3),
+        "vpu_ops_per_eval_model": VPU_OPS_PER_EVAL,
+        "achieved_vpu_gflops": round(achieved_gflops, 1),
+        "empirical_vpu_peak_gflops": round(peak, 1),
+        "vpu_util_frac": round(achieved_gflops / peak, 3) if peak else None,
+        "note": "kernel-only ops at the full-step rate: the non-kernel "
+                "~48% of the step (layout/bin/loss/adam, profile_ts32) is "
+                "counted as idle VPU time here, so this is a LOWER bound "
+                "on the kernels' own utilization",
+    }
+
+
 def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50,
                          tile_size=32, mxu_accum=None,
-                         tile_cfg_overrides=None):
+                         tile_cfg_overrides=None, headroom=1.5):
     """it/s of the full train step (render fwd+bwd+Adam) at width x height.
     n_warmup_train real steps are applied first (annealing the scene with
     actual training, so the measured distribution is self-generated).
@@ -262,7 +381,7 @@ def _train_iters_per_sec(model, width, height, n_warmup_train=0, n_iter=50,
     lr_tree = gaussian_lr_tree(
         model.params, jnp.int32(100), cfg.opt, 1.0, label_lr=0.0
     )
-    tile_cfg = auto_tile_config(model, batch.camera(0), headroom=1.5,
+    tile_cfg = auto_tile_config(model, batch.camera(0), headroom=headroom,
                                 tile_size=tile_size)
     if mxu_accum is not None:
         tile_cfg = dataclasses.replace(tile_cfg, mxu_accum=mxu_accum)
@@ -650,6 +769,17 @@ def _kernel_max_err(width=320, height=240, n=20_000, scene="lognormal",
 
 def main():
     _claim_tunnel()
+    # persistent compile cache (see header note at JAX_COMPILATION_CACHE_DIR
+    # — set here too because sitecustomize may import jax before this module
+    # sets the env var)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # cache is an optimization, never a failure
+        print(f"# compilation cache unavailable: {e}", flush=True)
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(BUDGET_S)
     record = _RECORD
@@ -668,25 +798,47 @@ def main():
     # the headline is the field the round is judged on); every reported
     # number is self-generated: warmup TRAINING steps anneal the scene at
     # each resolution before timing
+    # capacities at headroom 1.2 — the tightest verified-lossless setting
+    # (the post-warmup render re-checks dropped_pairs == 0; see the r5
+    # sweep in evidence/onchip_r5/perf_ab_r5.json)
     ips_480, roof_480 = _train_iters_per_sec(
-        _scene(N_GAUSSIANS), 640, 480, n_warmup_train=300
+        _scene(N_GAUSSIANS), 640, 480, n_warmup_train=300, headroom=1.2
     )
     record["value"] = round(ips_480, 3)
     record["vs_baseline"] = round(ips_480 / BASELINE_ITERS_PER_SEC, 3)
     record["roofline"] = {"480p": roof_480}
+    # compute-side grounding: the kernel is VPU-bound, so utilization is
+    # measured against an EMPIRICAL VPU FMA peak (VERDICT r4 item 4)
+    record["compute_utilization_480p"] = _compute_utilization(
+        _scene(N_GAUSSIANS), 640, 480, ips_480
+    )
 
     record["stage_iters_per_sec_480p"] = _stage_iters_per_sec()
 
     ips_1600, roof_1600 = _train_iters_per_sec(
-        _scene(N_GAUSSIANS), 1600, 900, n_warmup_train=150
+        _scene(N_GAUSSIANS), 1600, 900, n_warmup_train=150, headroom=1.2
     )
     record["iters_per_sec_1600x900_100k"] = round(ips_1600, 3)
     record["roofline"]["1600x900"] = roof_1600
     ips_1080, roof_1080 = _train_iters_per_sec(
-        _scene(N_GAUSSIANS), 1920, 1080, n_warmup_train=100
+        _scene(N_GAUSSIANS), 1920, 1080, n_warmup_train=100, headroom=1.2
     )
     record["iters_per_sec_1920x1080_100k"] = round(ips_1080, 3)
     record["roofline"]["1080p"] = roof_1080
+
+    # trained-scene operating point: the committed fine_all output of the
+    # 480p dense validation run (53k real trained gaussians) — the it/s
+    # end-to-end budgets actually see, vs the adversarial 100k random cloud
+    trained_ply = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "evidence", "480p_dense_r4", "gaussians_all.ply")
+    if os.path.exists(trained_ply):
+        from egogaussian_tpu.models.gaussians import load_ply
+
+        tmodel = load_ply(trained_ply, spatial_lr_scale=1.2)
+        ips_tr, _ = _train_iters_per_sec(tmodel, 640, 480,
+                                         n_warmup_train=50, headroom=1.5)
+        record["iters_per_sec_480p_trained_scene"] = round(ips_tr, 3)
 
     # correctness: oracle/dense-reference gates at training shapes, then
     # pallas-vs-tiled + zero-drop at the big operating points

@@ -60,8 +60,10 @@ class TileConfig:
     # image/alpha/depth accumulation (fwd) and dL/dw + dcol/dz formation
     # (bwd) through single HIGHEST-precision MXU matmuls instead of d+2
     # VPU lane reductions / broadcast-FMAs. Same math up to f32
-    # reassociation (equivalence-tested).
-    mxu_accum: bool = False
+    # reassociation (equivalence-tested). Default ON since the r5 on-chip
+    # A/B (evidence/mxu_ab_r4.json): 50.2 vs 48.6 it/s @480p/100k with
+    # identical forward error vs tiled.
+    mxu_accum: bool = True
     # tilegrid layout construction: True scatters each pair's row straight
     # into its padded slot (unique-indices scatter); False reconstructs a
     # per-slot pair index and double-gathers (vals = packed[g_sorted[p_q]]).

@@ -138,10 +138,19 @@ def pick_backend(tile_config, backend: str = "auto") -> str:
 
 
 def auto_tile_config(model: GaussianModel, camera: Camera,
-                     headroom: float = 3.0, tile_size: int = 32):
+                     headroom: float = 1.5, tile_size: int = 32):
     """Host-side: estimate binning capacities for the current scene/camera
-    (render/tiled.py estimate_tile_config). Call at stage/phase start;
-    generous headroom covers densification growth within the phase.
+    (render/tiled.py estimate_tile_config). Call at stage/phase start.
+
+    headroom default 1.5 (was 3.0 until r5): every cost in the tiled path —
+    pair sort, layout gather/scatter, kernel grid — scales with the STATIC
+    capacities, not the occupancy, and the on-chip sweep
+    (evidence/onchip_r5/perf_ab_r5.json) measured 39.2 -> 50.2 it/s
+    @480p/100k (and 52.8 -> 61.2 on the trained validation scene) going
+    3.0 -> 1.5 with zero drops. Densification growth past the headroom is
+    the COUNTED case: maybe_regrow_tile_config re-estimates and recompiles
+    at the next densify-interval host sync (drops are never silent), so a
+    tight default trades rare recompiles for ~25% on every iteration.
 
     tile_size default 32: the on-chip 2x2 layout x tile-size A/B
     (val_runs/layout_ts_ab_r4.jsonl, 480p/100k) has ts=32 ahead 48.3 vs

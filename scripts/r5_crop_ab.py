@@ -37,8 +37,15 @@ W, H = 640, 480
 print("backend:", jax.default_backend(), flush=True)
 
 model = bench._scene(bench.N_GAUSSIANS)
+# Tight object: the r5 first attempt at xyz*0.2 left a support of 690x544
+# px — wider than the 640-frame, so no crop window exists and growth
+# (correctly) disabled. 0.08 + clipped tails keeps the opacity-aware reach
+# well inside the frame so the equality branch actually runs.
 model = dataclasses.replace(
-    model, params=dataclasses.replace(model.params, xyz=model.params.xyz * 0.2)
+    model, params=dataclasses.replace(
+        model.params,
+        xyz=jnp.clip(model.params.xyz * 0.08, -0.45, 0.45),
+    )
 )
 model = dataclasses.replace(
     model,
