@@ -67,11 +67,19 @@ def make_synthetic_video(
     frames_dynamic: int = 4,
     seed: int = 0,
     with_hand: bool = True,
+    n_cycles: int = 1,
 ) -> SyntheticVideo:
-    """Two static phases bracketing one dynamic phase:
-    frames [0, s-1] static, [s, s+d-1] dynamic (cube moves), rest static."""
+    """Alternating static/dynamic phases, reference phase_frame_index
+    structure (train.py:60-65): n_cycles+1 static phases bracketing
+    n_cycles dynamic phases. n_cycles=1 (default) is the classic
+    static-dynamic-static video; n_cycles=2 exercises the multi-phase
+    paths (per-phase coarse anchors, per-phase interpolation ranges).
+    Even cycles move the object by a fixed SE(3) step per frame; odd
+    cycles apply the inverse step (the object returns), so every dynamic
+    phase has genuinely different motion."""
     pts, cols, is_obj, scales = _gt_scene(seed, n_bg, n_obj)
-    total = frames_static * 2 + frames_dynamic
+    s, d = frames_static, frames_dynamic
+    total = s * (n_cycles + 1) + d * n_cycles
 
     # per-frame object delta: translate +x and rotate about z during dynamics
     deltas = np.tile(np.eye(4, dtype=np.float32), (total, 1, 1))
@@ -91,8 +99,12 @@ def make_synthetic_video(
             jnp.asarray(np.array([0.12, 0.0, 0.04], np.float32)),
         )
     )
-    for f in range(frames_static, frames_static + frames_dynamic):
-        deltas[f] = step_T
+    inv_step_T = np.linalg.inv(step_T).astype(np.float32)
+    for c in range(n_cycles):
+        start = c * (s + d) + s
+        step = step_T if c % 2 == 0 else inv_step_T
+        for f in range(start, start + d):
+            deltas[f] = step
 
     quats = np.tile(np.array([[1.0, 0, 0, 0]], np.float32), (len(pts), 1))
     cov3d_rest = covariance_from_scaling_rotation(
@@ -159,13 +171,17 @@ def make_synthetic_video(
         )
         names.append(name)
 
-    s, d = frames_static, frames_dynamic
     noisy = pts + rng.randn(*pts.shape).astype(np.float32) * 0.02
     return SyntheticVideo(
         cameras=cameras,
         image_names=names,
-        static_phases=[(0, s - 1), (s + d, total - 1)],
-        dynamic_phases=[(s, s + d - 1)],
+        static_phases=[
+            (c * (s + d), c * (s + d) + s - 1) for c in range(n_cycles + 1)
+        ],
+        dynamic_phases=[
+            (c * (s + d) + s, c * (s + d) + s + d - 1)
+            for c in range(n_cycles)
+        ],
         gt_obj_deltas=deltas,
         points=noisy,
         colors=cols,

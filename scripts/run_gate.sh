@@ -2,12 +2,14 @@
 # Partitioned test gate.
 #
 # WHY: a single pytest process segfaults inside XLA-CPU executable
-# compilation/deserialization after ~170 accumulated in-process compiles
+# compilation/deserialization after enough accumulated in-process compiles
 # (jaxlib-level; faulthandler stack + analysis in tests/conftest.py and
 # STATUS.md r5). pytest-xdist then blames whichever test is running —
 # historically TestDpStaticStep, whose DP-vs-scan equivalence is in fact
-# bit-exact. Running the suite as three fresh processes keeps each far
-# below the crash threshold while covering every test exactly once.
+# bit-exact. Running the suite as SIX fresh processes keeps each far below
+# the crash threshold (the full `-m ""` suite crossed it with three) while
+# covering every test exactly once; per-process startup is ~20 s against a
+# warm persistent compile cache.
 #
 # Usage:
 #   bash scripts/run_gate.sh            # fast gate  (pytest -q)
@@ -22,16 +24,17 @@ EXTRA=("$@")
 rc=0
 run() {
   echo "=== gate part: $* ==="
-  python -m pytest "$@" "${EXTRA[@]}" -q || rc=1
+  python -m pytest "$@" ${EXTRA[@]+"${EXTRA[@]}"} -q || rc=1
 }
 run tests/test_aux.py tests/test_crop.py tests/test_data.py \
     tests/test_eval.py tests/test_golden_torch.py tests/test_losses.py \
     tests/test_lr_schedule.py
-run tests/test_model.py tests/test_multi_scene_coarse.py \
-    tests/test_multi_scene_fine.py tests/test_multi_scene_real.py \
-    tests/test_native_io.py tests/test_ops_math.py
+run tests/test_model.py tests/test_native_io.py tests/test_ops_math.py
+run tests/test_multi_scene_coarse.py tests/test_multi_scene_fine.py \
+    tests/test_multi_scene_real.py
 run tests/test_pallas_raster.py tests/test_parallel.py \
-    tests/test_pipeline.py tests/test_render.py tests/test_shard_render.py \
-    tests/test_train.py tests/test_train_multi_cli.py
+    tests/test_shard_render.py
+run tests/test_pipeline.py tests/test_render.py
+run tests/test_train.py tests/test_train_multi_cli.py
 echo "=== gate overall rc=$rc ==="
 exit $rc

@@ -186,6 +186,33 @@ class TestHelpers:
 
 
 class TestSynthetic:
+    def test_multi_cycle_phases(self):
+        # n_cycles=2: three static phases bracketing two dynamic phases
+        # (the reference's alternating phase_frame_index structure,
+        # train.py:60-65); odd cycles apply the inverse step so the two
+        # dynamic phases carry genuinely different motion.
+        vid = make_synthetic_video(frames_static=2, frames_dynamic=2,
+                                   n_bg=40, n_obj=15, width=32, height=24,
+                                   n_cycles=2)
+        assert len(vid.cameras) == 2 * 3 + 2 * 2
+        assert vid.static_phases == [(0, 1), (4, 5), (8, 9)]
+        assert vid.dynamic_phases == [(2, 3), (6, 7)]
+        # object moves in BOTH dynamic phases
+        for ph in vid.dynamic_phases:
+            for f in range(ph[0], ph[1] + 1):
+                assert np.abs(vid.gt_obj_deltas[f] - np.eye(4)).max() > 1e-3
+        # cycle 1 is the inverse of cycle 0: the accumulated pose over the
+        # whole video returns to identity
+        accum = np.eye(4, dtype=np.float32)
+        for f in range(len(vid.cameras)):
+            accum = vid.gt_obj_deltas[f] @ accum
+        np.testing.assert_allclose(accum, np.eye(4), atol=1e-5)
+        # default n_cycles=1 is unchanged
+        vid1 = make_synthetic_video(frames_static=3, frames_dynamic=2,
+                                    n_bg=40, n_obj=15, width=32, height=24)
+        assert vid1.static_phases == [(0, 2), (5, 7)]
+        assert vid1.dynamic_phases == [(3, 4)]
+
     def test_video_structure(self):
         vid = make_synthetic_video(frames_static=3, frames_dynamic=2,
                                    n_bg=40, n_obj=15, width=32, height=24)

@@ -168,3 +168,48 @@ def test_pipeline_interior_dynamic_holdout(tmp_path_factory):
     # eval buckets produced finite metrics for both held-out frames
     assert np.isfinite(result.metrics["dynamic_eval"]["psnr"])
     assert np.isfinite(result.metrics["static_eval"]["psnr"])
+
+
+@pytest.mark.slow
+def test_pipeline_two_dynamic_phases(tmp_path_factory):
+    """Full pipeline on a MULTI-phase video (static-dynamic-static-dynamic-
+    static): exercises the per-phase coarse anchors (each dynamic phase
+    chains to the FIRST frame of the NEXT static phase,
+    coarse_obj_pose.py:137), per-phase interpolation ranges, and stage 1.0
+    training of all three static phases — paths a single-cycle video never
+    hits end-to-end."""
+    import os
+
+    vid = make_synthetic_video(
+        width=40, height=30, n_bg=100, n_obj=25,
+        frames_static=2, frames_dynamic=2, n_cycles=2,
+    )
+    scene = SceneData(
+        cameras=vid.cameras,
+        points=vid.points,
+        colors=vid.colors,
+        nerf_norm=compute_nerfpp_norm(vid.cameras),
+        image_names=vid.image_names,
+    )
+    names = vid.image_names
+    save_dir = str(tmp_path_factory.mktemp("pipeline_2phase"))
+    result = run_pipeline(
+        scene, tiny_config(), save_dir,
+        training_frames=names,
+        dynamic_eval_frames=[names[vid.dynamic_phases[0][0]]],
+        static_eval_frames=[names[-1]],
+        static_phases=vid.static_phases,
+        dynamic_phases=vid.dynamic_phases,
+    )
+    # every frame of BOTH dynamic phases got a solved pose, and the poses
+    # in the two phases move in opposite directions (cycle-1 inverse step)
+    solved = np.asarray(result.pose_seq.solved)
+    for ph in vid.dynamic_phases:
+        for f in range(ph[0], ph[1] + 1):
+            assert solved[f], f
+    # all three static phases trained
+    for p in range(3):
+        assert os.path.exists(os.path.join(
+            save_dir, "static", "ply", f"static_phase{p}_obj.ply")), p
+    assert np.isfinite(result.metrics["dynamic_eval"]["psnr"])
+    assert np.isfinite(result.metrics["static_eval"]["psnr"])
