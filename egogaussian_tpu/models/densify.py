@@ -116,7 +116,21 @@ def densify_and_prune(
     # ---- candidate construction (fixed shape [3C] = C clones + 2C splits) --
     # clone candidates: identical copies
     # split candidates: xyz + R(q) @ N(0, diag(s)); scales /(0.8*2)
-    samples = jax.random.normal(rng, (2, C, 3)) * scaling[None]
+    #
+    # The noise is drawn per SLOT from a fold_in-derived key, NOT as one
+    # (2, C, 3) draw: a counter-based draw ties each slot's values to the
+    # padded capacity C, so the same logical scene densifies DIFFERENTLY at
+    # different capacities (r5 root-cause of the never-green lockstep-vs-
+    # individual fine-driver equivalence: the lockstep pads to the shared
+    # max capacity while an individual run may still be pre-growth, and the
+    # split children landed at different positions). Capacity must stay an
+    # implementation detail — per-slot keys make the draw depend only on
+    # (base key, slot index).
+    row_keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+        jnp.arange(C, dtype=jnp.uint32)
+    )
+    samples = jax.vmap(lambda k: jax.random.normal(k, (2, 3)))(row_keys)
+    samples = samples.transpose(1, 0, 2) * scaling[None]  # [2, C, 3]
     R = quat_to_rotmat(p.quats)  # [C, 3, 3]
     offsets = jnp.einsum("cij,ncj->nci", R, samples)  # [2, C, 3]
     split_xyz = p.xyz[None] + offsets  # [2, C, 3]
