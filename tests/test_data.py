@@ -213,6 +213,22 @@ class TestSynthetic:
         assert vid1.static_phases == [(0, 2), (5, 7)]
         assert vid1.dynamic_phases == [(3, 4)]
 
+    def test_multi_cycle_export_roundtrip(self, tmp_path):
+        # phase_frame_index.txt interleaves static,dynamic,... for ALL
+        # cycles and read_phase_index round-trips it (reference
+        # train.py:60-65 consumes exactly this layout)
+        from egogaussian_tpu.data.export_colmap import export_colmap_dataset
+        from egogaussian_tpu.data.readers import read_phase_index
+
+        vid = make_synthetic_video(frames_static=2, frames_dynamic=2,
+                                   n_bg=30, n_obj=10, width=32, height=24,
+                                   n_cycles=2)
+        export_colmap_dataset(vid, str(tmp_path))
+        st, dy = read_phase_index(
+            str(tmp_path / "split" / "phase_frame_index.txt"))
+        assert st == vid.static_phases
+        assert dy == vid.dynamic_phases
+
     def test_video_structure(self):
         vid = make_synthetic_video(frames_static=3, frames_dynamic=2,
                                    n_bg=40, n_obj=15, width=32, height=24)
