@@ -61,14 +61,14 @@ class TileConfig:
     # (bwd) through single HIGHEST-precision MXU matmuls instead of d+2
     # VPU lane reductions / broadcast-FMAs. Same math up to f32
     # reassociation (equivalence-tested). Default ON since the r5 on-chip
-    # A/B (evidence/mxu_ab_r4.json): 50.2 vs 48.6 it/s @480p/100k with
+    # A/B (evidence/onchip_r5/mxu_ab.jsonl): 50.2 vs 48.6 it/s @480p/100k with
     # identical forward error vs tiled.
     mxu_accum: bool = True
     # tilegrid layout construction: True scatters each pair's row straight
     # into its padded slot (unique-indices scatter); False reconstructs a
     # per-slot pair index and double-gathers (vals = packed[g_sorted[p_q]]).
     # Same layout bit-for-bit; cost profile differs. On-chip 2x2 A/B
-    # (val_runs/layout_ts_ab_r4.jsonl) has the gather chain ahead at both
+    # (evidence/onchip_r5/layout_ts_ab.jsonl) has the gather chain ahead at both
     # tile sizes (44.6 vs 41.2 it/s at ts16, 48.3 vs 47.4 at ts32), so
     # gather stays the default; the scatter path is kept as a tested
     # fallback (it wins when max_pairs is much larger than max_slots).

@@ -153,8 +153,8 @@ def auto_tile_config(model: GaussianModel, camera: Camera,
     tight default trades rare recompiles for ~25% on every iteration.
 
     tile_size default 32: the on-chip 2x2 layout x tile-size A/B
-    (val_runs/layout_ts_ab_r4.jsonl, 480p/100k) has ts=32 ahead 48.3 vs
-    44.6 it/s — 4x fewer kernel grid steps and ~25% less chunk padding
+    (evidence/onchip_r5/layout_ts_ab.jsonl, 480p/100k) has ts=32 ahead 48.6 vs
+    44.9 it/s — 4x fewer kernel grid steps and ~25% less chunk padding
     beat the larger per-tile pixel block."""
     from egogaussian_tpu.render.project import project_gaussians
     from egogaussian_tpu.render.tiled import estimate_tile_config

@@ -27,39 +27,47 @@ import time
 sys.path.insert(0, "/root/repo")
 
 ROOT = "/root/repo"
-OUT = os.path.join(ROOT, "val_runs", "multi_proof_r5")
+OUT = os.path.join(ROOT, "val_runs", "multi_proof_r5b")
 K = int(os.environ.get("MP_SCALE", "32"))  # schedule divisor
 W, H = 320, 240
 
 
 def schedule_args():
-    mx = lambda v, m: str(max(v, m))
+    # Densification OFF (until_iter 0) and opacity resets pushed past every
+    # stage: at 1/32 scale the scaled densify cadence degenerates (the
+    # first attempt spiraled into whole-frame splats + a regrow-recompile
+    # loop at 1.7M pairs). The proof compares WALL-CLOCK of the same work
+    # run sequentially vs lockstep; a capacity-static schedule makes that
+    # comparison clean (identical step counts, no recompile noise), and
+    # both paths use the identical flags.
+    off = "0"
+    never = "999999"
     return [
         "--checkpoint_every", "0",
-        "--densification_interval", mx(100 // K, 10),
-        "--opacity_reset_interval", mx(3000 // K, 100),
+        "--densification_interval", "100",
+        "--opacity_reset_interval", never,
         "--position_lr_max_steps", str(30000 // K),
         "--s_std_train_iter", str(50000 // K),
         "--s_entropy_reg_iter", str(10000 // K),
         "--s_label_train_iter", str(30000 // K),
-        "--s_densify_until_iter", str(40000 // K),
+        "--s_densify_until_iter", off,
         "--b_std_train_iter", str(80000 // K),
         "--b_entropy_reg_iter", str(10000 // K),
-        "--b_densify_until_iter", str(60000 // K),
+        "--b_densify_until_iter", off,
         "--c_warm_up_iter", str(20000 // K),
         "--c_total_num_iter", str(30000 // K),
-        "--c_densify_from_iter", str(20500 // K),
-        "--c_densify_until_iter", str(25500 // K),
-        "--c_opacity_reset_interval", mx(2500 // K, 50),
-        "--c_densification_interval", mx(500 // K, 13),
+        "--c_densify_from_iter", never,
+        "--c_densify_until_iter", off,
+        "--c_opacity_reset_interval", never,
+        "--c_densification_interval", "100",
         "--f_total_num_iter", str(70000 // K),
-        "--f_densify_from_iter", mx(500 // K, 10),
-        "--f_densify_until_iter", str(45000 // K),
-        "--f_opacity_reset_interval", mx(3000 // K, 50),
-        "--f_densification_interval", mx(50 // K, 6),
+        "--f_densify_from_iter", never,
+        "--f_densify_until_iter", off,
+        "--f_opacity_reset_interval", never,
+        "--f_densification_interval", "100",
         "--a_total_num_iter", str(40000 // K),
-        "--a_densify_until_iter", str(5000 // K),
-        "--a_opacity_reset_interval", mx(3000 // K, 50),
+        "--a_densify_until_iter", off,
+        "--a_opacity_reset_interval", never,
         "--backend", "auto",
     ]
 
